@@ -1,0 +1,145 @@
+"""Static configuration pytrees for the simulation engines.
+
+All sizes here are *static* (shape-defining) so that the jitted kernels compile
+to fixed shapes; data-dependent quantities (particle counts, ground-point
+counts, ...) are carried as masks/counts at runtime.
+
+Reference semantics pinned here (file:line refer to SysCV/LiDAR_snow_sim):
+- beam divergence default: degrees(3e-3) rad, `tools/snowfall/precompute.py:104`
+- lidar_range=120 m, 10 intervals/m, tau_h=1e-8 s, beta_0=1e-6/pi,
+  `tools/snowfall/simulation.py:106-109`
+- noise_floor=0.7, `tools/snowfall/simulation.py:428`
+- wet ground defaults, `tools/wet_ground/augmentation.py:25-27`
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+SPEED_OF_LIGHT = 299792458.0  # m/s (scipy.constants.speed_of_light)
+
+# Default beam divergence used by the offline datagen driver
+# (reference tools/snowfall/precompute.py:104): 3 mrad total opening, in degrees.
+DEFAULT_BEAM_DIVERGENCE_DEG = float(np.degrees(3e-3))
+
+
+@dataclasses.dataclass(frozen=True)
+class SnowfallConfig:
+    """Static configuration of the snowfall augmentation kernel.
+
+    Shape-defining capacities (tune per workload; overflow is *tracked*, never
+    silently wrong — see SnowfallResult.diagnostics):
+
+    - max_points:      padded point capacity of one scan
+    - window_size:     angular-window candidate capacity per beam (particles
+                       gathered from the angle-sorted bank around the beam)
+    - wide_capacity:   capacity of the per-bank "wide particle" list (particles
+                       whose angular half-width exceeds `wide_threshold`; they
+                       are tested against every beam)
+    - max_occluders:   max intersecting particles kept per beam for the
+                       angular-interval sweep (kept = nearest by range,
+                       matching the reference first-claim priority,
+                       simulation.py:412-417)
+    - max_bumps:       max occluders with nonzero occlusion ratio fed to the
+                       pulse re-simulation (plus one hard-target bump)
+    """
+
+    # physics / reference constants
+    beam_divergence_deg: float = DEFAULT_BEAM_DIVERGENCE_DEG
+    noise_floor: float = 0.7
+    lidar_range: float = 120.0
+    intervals_per_meter: int = 10
+    tau_h: float = 1e-8
+    beta_0: float = 1e-6 / math.pi
+    xsi_r1: float = 0.9   # receiver overlap ramp start (simulation.py:553)
+    xsi_r2: float = 1.0   # receiver overlap ramp end
+    range_tolerance: float = 0.2  # |d_max - d_orig| threshold (simulation.py:158)
+
+    # capacities (static shapes)
+    max_points: int = 32768
+    window_size: int = 1024
+    wide_capacity: int = 128
+    max_occluders: int = 64
+    max_bumps: int = 32
+    point_chunk: int = 512
+
+    # candidate windowing
+    wide_threshold: float = 5e-3  # rad; particles with angular half-width
+    # above this go to the wide list instead of the angle-sorted window
+
+    # plane fit / laser parameter estimation
+    ransac_trials: int = 64
+    ground_delta: float = 0.5  # |w.p + h| band for ground points (simulation.py:450)
+
+    @property
+    def beam_divergence_rad(self) -> float:
+        return float(np.radians(self.beam_divergence_deg))
+
+    @property
+    def num_bins(self) -> int:
+        """Extended waveform grid size (simulation.py:113): ceil(M + c*tau*ipm)."""
+        m = self.lidar_range * self.intervals_per_meter
+        return int(np.ceil(m + SPEED_OF_LIGHT * self.tau_h * self.intervals_per_meter))
+
+    @property
+    def pulse_width_m(self) -> float:
+        return SPEED_OF_LIGHT * self.tau_h
+
+    def range_grid(self) -> np.ndarray:
+        """The reference's quantized range grid R (simulation.py:116).
+
+        round(linspace(0, range + c*tau, num_bins), 2) computed in float64 on
+        host then cast to float32 for the device. The 2-decimal rounding wobble
+        (linspace step is 0.10008 m, not 0.1 m) is part of the reference
+        semantics and is reproduced exactly.
+        """
+        extended = self.lidar_range + SPEED_OF_LIGHT * self.tau_h
+        r = np.round(np.linspace(0.0, extended, self.num_bins), 2)
+        return r.astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class WetGroundConfig:
+    """Static configuration for wet-ground reflectance augmentation.
+
+    Defaults mirror reference `tools/wet_ground/augmentation.py:25-27`.
+    """
+
+    water_height: float = 0.001
+    pavement_depth: float = 0.0012
+    noise_floor: float = 0.7
+    power_factor: float = 15.0
+    estimation_method: str = "linear"  # 'linear' | 'poly'
+    flat_earth: bool = False
+    delta: float = 0.5
+    replace: bool = True
+    min_ground_points: int = 1000  # bail-out threshold (augmentation.py:51)
+    n_air: float = 1.0003
+    n_water: float = 1.33
+    min_reflectivity: float = 0.05
+    ransac_trials: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneFitConfig:
+    """RANSAC ground-plane fit configuration.
+
+    Mirrors the semantics of reference `tools/wet_ground/planes.py:12-50`
+    (sklearn RANSACRegressor with squared loss against a MAD threshold, then a
+    least-squares refit on the best trial's inliers) with a fixed, seeded trial
+    count so results are reproducible on device.
+    """
+
+    trials: int = 64
+    min_samples: int = 3
+    standard_height: float = -1.55
+    # ground crop (planes.py:21-26)
+    x_min: float = 10.0
+    x_max: float = 70.0
+    y_abs: float = 3.0
+    z_max: float = -1.55
+    z_slope: float = -0.01
+    z_base: float = -1.86

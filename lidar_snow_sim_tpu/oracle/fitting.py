@@ -1,0 +1,159 @@
+"""Host-side fitting oracles: linear regression, RANSAC plane, laser params.
+
+Semantics mirror the reference's estimators (file:line cited per function) but
+with the deterministic substitutions documented in the package docstring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def linregress_fit(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Least-squares slope/intercept (scipy.stats.linregress equivalent)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xm, ym = x.mean(), y.mean()
+    dx = x - xm
+    denom = np.sum(dx * dx)
+    slope = np.sum(dx * (y - ym)) / denom
+    return float(slope), float(ym - slope * xm)
+
+
+def polyfit2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Degree-2 polynomial least squares, highest power first (np.polyfit)."""
+    return np.polyfit(np.asarray(x, np.float64), np.asarray(y, np.float64), 2)
+
+
+def _mad(y: np.ndarray) -> float:
+    """Median absolute deviation — sklearn RANSACRegressor's default
+    residual_threshold (planes.py:35 passes none)."""
+    return float(np.median(np.abs(y - np.median(y))))
+
+
+def ransac_plane(
+    points_xyz: np.ndarray,
+    trials: int = 64,
+    seed: int = 0,
+    standard_height: float = -1.55,
+) -> tuple[np.ndarray, float]:
+    """RANSAC ground-plane fit with the reference's crop and fallback.
+
+    Mirrors `tools/wet_ground/planes.py:12-50`: crop points near the expected
+    road surface, RANSAC-fit z = a*x + b*y + c (squared residual vs MAD(z)
+    threshold — the reference passes loss='squared_loss' while sklearn's
+    default threshold is MAD(y), an inconsistency we reproduce), refit on the
+    best trial's inliers, return unit normal w = [a, b, -1]/|.| and *raw*
+    intercept h (the reference does not rescale h by |w|).
+    """
+    pc = np.asarray(points_xyz)
+    valid = (
+        (pc[:, 2] < -1.55)
+        & (pc[:, 2] > -1.86 - 0.01 * pc[:, 0])
+        & (pc[:, 0] > 10)
+        & (pc[:, 0] < 70)
+        & (pc[:, 1] > -3)
+        & (pc[:, 1] < 3)
+    )
+    p = pc[valid][:, :3].astype(np.float64)
+    if p.shape[0] <= 3:
+        return np.array([0.0, 0.0, 1.0]), standard_height
+
+    x, z = p[:, :2], p[:, 2]
+    thresh = _mad(z)
+    rng = np.random.default_rng(seed)
+    n = len(p)
+
+    best_inliers = None
+    best_count = -1
+    for _ in range(trials):
+        idx = rng.integers(0, n, size=3)
+        a = np.column_stack([x[idx], np.ones(3)])
+        try:
+            coef = np.linalg.solve(a, z[idx])
+        except np.linalg.LinAlgError:
+            continue
+        resid = z - (x @ coef[:2] + coef[2])
+        inliers = resid**2 < thresh
+        c = int(inliers.sum())
+        if c > best_count:
+            best_count = c
+            best_inliers = inliers
+
+    if best_inliers is None or best_inliers.sum() < 3:
+        return np.array([0.0, 0.0, 1.0]), standard_height
+
+    a = np.column_stack([x[best_inliers], np.ones(int(best_inliers.sum()))])
+    coef, *_ = np.linalg.lstsq(a, z[best_inliers], rcond=None)
+    w = np.array([coef[0], coef[1], -1.0])
+    h = float(coef[2])
+    w = w / np.linalg.norm(w)
+    return w, h
+
+
+def noise_floor_bins(
+    distance: np.ndarray,
+    normalized_intensities: np.ndarray,
+    n_points: int,
+    bins: tuple[int, int] = (50, 2555),
+    d_range: tuple[float, float] = (10.0, 70.0),
+) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-intensity-per-distance-bin estimator.
+
+    Mirrors `tools/wet_ground/augmentation.py:232-241`: 2-D histogram of
+    (distance, intensity) with intensity range (5, max); empty bins set to the
+    point count; per distance row pick the intensity bin with the minimal
+    count (see package docstring re argpartition), keep rows whose bin edge
+    value exceeds 5; return (bin-center distances, intensity edge values).
+    """
+    hist, xedges, yedges = np.histogram2d(
+        distance,
+        normalized_intensities,
+        bins=bins,
+        range=(d_range, (5, np.abs(np.max(normalized_intensities)))),
+    )
+    hist[hist == 0] = n_points
+    ymins = np.argmin(hist, axis=1)
+    min_vals = yedges[ymins]
+    sel = min_vals > 5
+    x = (xedges[:-1][sel] + xedges[1:][sel]) / 2
+    return x, min_vals[sel]
+
+
+def estimate_laser_parameters(
+    ground_points: np.ndarray,
+    incident_angle: np.ndarray,
+    power_factor: float = 15.0,
+    noise_floor: float = 0.7,
+    estimation_method: str = "linear",
+):
+    """Relative output power + adaptive noise threshold per ground point.
+
+    Mirrors `tools/wet_ground/augmentation.py:195-266` (sans plotting):
+    intensities normalized by cos(incident); power fitted linear (or poly-2)
+    vs distance, scaled by power_factor; noise floor from the 2-D histogram
+    minimum fit, scaled by noise_floor.
+    """
+    intens = ground_points[:, 3] / np.cos(incident_angle)
+    distance = np.linalg.norm(ground_points[:, :3], axis=1)
+    if len(intens) < 3:
+        return None, None, None
+
+    if estimation_method == "linear":
+        p = linregress_fit(distance, intens)
+        relative_output = power_factor * (p[0] * distance + p[1])
+    elif estimation_method == "poly":
+        p = polyfit2(distance, intens)
+        relative_output = power_factor * np.polyval(p, distance)
+    else:
+        raise ValueError(estimation_method)
+
+    x, min_vals = noise_floor_bins(distance, intens, len(ground_points))
+    if estimation_method == "poly":
+        pmin = polyfit2(x, min_vals) if len(min_vals) > 3 else p
+        threshold = noise_floor * np.polyval(pmin, distance)
+    else:
+        pmin = linregress_fit(x, min_vals) if len(min_vals) > 3 else p
+        threshold = noise_floor * (pmin[0] * distance + pmin[1])
+
+    return relative_output, threshold, p

@@ -1,0 +1,149 @@
+"""Device-resident particle banks.
+
+The reference loads one `.npy` particle file *per channel, per scan, inside the
+hot path* (`tools/snowfall/simulation.py:329`) and brute-forces every particle
+against every beam. Here all 64 per-channel particle sets of one
+(distribution, rate, occupancy) combo are baked into a single angle-sorted,
+padded device LUT, built once on host:
+
+- Particles are split into "narrow" (angular half-width asin(r/d) below
+  `wide_threshold`) and "wide" lists. Narrow particles are sorted by center
+  azimuth and extended with ±2pi wraparound copies so any beam's angular
+  neighborhood is one contiguous window, found by binary search. Wide
+  particles (rare: centers within ~0.5 m of the sensor) are tested against
+  every beam.
+
+- Each beam then gathers a fixed-size window of `window_size` candidates plus
+  the wide list; the exact reference intersection test prunes them. Window
+  overflow is *counted* (never silently dropped) so capacity bugs surface in
+  stats/tests.
+
+Bank rows are indexed by the particle-file index; the per-scan channel shuffle
+(reference simulation.py:482-486) becomes a permutation array `order` so that
+channel c reads bank row order[c].
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+TWO_PI = 2.0 * np.pi
+_FILLER_ANGLE = 1e9
+_FILLER_DIST = 1e9
+
+
+class ParticleBank(NamedTuple):
+    """Angle-sorted, padded particle LUT for all channels of one combo.
+
+    data/angle rows are the *extended* arrays: [front wrap pad (angle-2pi),
+    sorted narrow particles, back wrap pad (angle+2pi), filler]. All arrays are
+    numpy on host; move to device with jax.device_put (they are pytrees).
+    """
+
+    data: np.ndarray        # (C, K_ext, 4) f32: x, y, r, dist
+    angle: np.ndarray       # (C, K_ext) f32, ascending
+    count: np.ndarray       # (C,) i32: narrow count (excludes pads/filler)
+    start: np.ndarray       # (C,) i32: index of first non-pad entry (== pad)
+    wide: np.ndarray        # (C, W, 4) f32: x, y, r, dist
+    wide_count: np.ndarray  # (C,) i32
+
+    @property
+    def num_channels(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def pad(self) -> int:
+        return int(self.start[0])
+
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self)
+
+
+def build_bank(
+    particle_sets: Sequence[np.ndarray],
+    window_size: int = 1024,
+    wide_threshold: float = 5e-3,
+    wide_capacity: int = 128,
+) -> ParticleBank:
+    """Build a ParticleBank from per-channel (N_i, 3) [x, y, r] arrays."""
+    C = len(particle_sets)
+    pad = window_size
+
+    narrow_rows = []
+    wide_rows = []
+    for p in particle_sets:
+        p = np.asarray(p, dtype=np.float64).reshape(-1, 3)
+        x, y, r = p[:, 0], p[:, 1], p[:, 2]
+        dist = np.hypot(x, y)
+        halfwidth = np.arcsin(np.clip(r / np.maximum(dist, 1e-12), 0.0, 1.0))
+        is_wide = halfwidth > wide_threshold
+        ang = np.arctan2(y, x)
+        ang = np.where(ang < 0, ang + TWO_PI, ang)
+        nr = np.column_stack([x, y, r, dist, ang])[~is_wide]
+        nr = nr[np.argsort(nr[:, 4], kind="stable")]
+        narrow_rows.append(nr)
+        wd = np.column_stack([x, y, r, dist])[is_wide]
+        if len(wd) > wide_capacity:
+            raise ValueError(
+                f"wide-particle overflow: {len(wd)} > capacity {wide_capacity};"
+                " raise wide_capacity or wide_threshold"
+            )
+        wide_rows.append(wd)
+
+    k_max = max((len(nr) for nr in narrow_rows), default=0)
+    k_ext = k_max + 2 * pad
+
+    data = np.zeros((C, k_ext, 4), dtype=np.float32)
+    angle = np.full((C, k_ext), _FILLER_ANGLE, dtype=np.float32)
+    data[:, :, 3] = _FILLER_DIST
+    count = np.zeros(C, dtype=np.int32)
+    start = np.full(C, pad, dtype=np.int32)
+    wide = np.zeros((C, wide_capacity, 4), dtype=np.float32)
+    wide[:, :, 3] = _FILLER_DIST
+    wide_count = np.zeros(C, dtype=np.int32)
+
+    for c, (nr, wd) in enumerate(zip(narrow_rows, wide_rows)):
+        n = len(nr)
+        count[c] = n
+        if n > 0:
+            # wraparound pads: take with wrap so channels with n < pad still
+            # tile correctly; adjust angles by the number of full wraps.
+            front_idx = np.arange(-pad, 0)
+            back_idx = np.arange(0, pad)
+            front = nr[np.mod(front_idx, n)]
+            back = nr[np.mod(back_idx, n)]
+            front_wraps = np.floor_divide(front_idx, n)  # negative
+            back_wraps = np.floor_divide(back_idx, n) + 1
+            block = np.concatenate(
+                [
+                    np.column_stack([front[:, :4], front[:, 4] + TWO_PI * front_wraps]),
+                    nr,
+                    np.column_stack([back[:, :4], back[:, 4] + TWO_PI * back_wraps]),
+                ]
+            )
+            m = len(block)
+            data[c, :m] = block[:, :4].astype(np.float32)
+            angle[c, :m] = block[:, 4].astype(np.float32)
+        if len(wd) > 0:
+            wide[c, : len(wd)] = wd.astype(np.float32)
+            wide_count[c] = len(wd)
+
+    return ParticleBank(data, angle, count, start, wide, wide_count)
+
+
+def load_bank_files(
+    directory: str | Path,
+    prefix: str,
+    num_channels: int = 64,
+    **kwargs,
+) -> ParticleBank:
+    """Load the reference's per-channel particle files
+    `{prefix}_{i}.npy` for i in 1..num_channels (simulation.py:78) into a bank."""
+    directory = Path(directory)
+    sets = [
+        np.load(directory / f"{prefix}_{i + 1}.npy") for i in range(num_channels)
+    ]
+    return build_bank(sets, **kwargs)
