@@ -1,0 +1,382 @@
+"""Snowfall augmentation — the TPU-native core pipeline.
+
+One jittable, fixed-shape function replaces the reference's thread-pool over
+64 channels with Python loops over beams and particles
+(`tools/snowfall/simulation.py:427-544`). Per scan:
+
+1. stable-sort points by channel (reference sorts unstably; documented)
+2. RANSAC ground plane -> incident angles -> adaptive noise threshold ->
+   degree-2 noise polynomial over range (simulation.py:449-469)
+3. per point (vmapped, chunked):
+   - angular-window + wide-list candidate gather from the angle-sorted
+     ParticleBank (replaces per-beam brute force over the whole bank)
+   - exact intersection test + tangent intervals (ops.geometry)
+   - nearest-K occluder selection + first-claim sweep (ops.sweep)
+   - pulse re-simulation over the 1230-bin quantized grid (ops.waveform)
+   - attenuate / scatter / keep decision (simulation.py:151-192)
+4. noise-floor keep mask + statistics (simulation.py:516-530)
+
+Capacity overflows (angular window, occluder set, bump set) are counted in
+the result diagnostics; parity tests require them to be zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_snow_sim_tpu.calib import SensorCalib
+from lidar_snow_sim_tpu.config import SPEED_OF_LIGHT, SnowfallConfig
+from lidar_snow_sim_tpu.ops.fitting import (
+    masked_polyfit2,
+    polyval2,
+    ransac_plane,
+)
+from lidar_snow_sim_tpu.ops.geometry import beam_limits, candidate_intervals, wrap_02pi
+from lidar_snow_sim_tpu.ops.laser import estimate_laser_parameters
+from lidar_snow_sim_tpu.ops.sweep import occlusion_sweep
+from lidar_snow_sim_tpu.ops.waveform import waveform_peak, xsi
+
+_INF = jnp.float32(jnp.inf)
+
+
+class SnowfallResult(NamedTuple):
+    points: jax.Array          # (N, 5) augmented x, y, z, intensity, label
+    keep: jax.Array            # (N,) bool: survives noise floor / scattering
+    num_attenuated: jax.Array  # i32
+    num_removed: jax.Array     # i32
+    avg_intensity_diff: jax.Array  # i32 (trunc toward zero, reference int())
+    window_overflow: jax.Array     # i32: candidates beyond window capacity
+    occluder_overflow: jax.Array   # i32: intersecting beyond max_occluders
+    bump_overflow: jax.Array       # i32: nonzero-ratio beyond max_bumps
+
+
+def _batched_searchsorted(sorted_rows, rows, targets, length: int):
+    """First index i in sorted_rows[rows] with value >= target (side='left'),
+    without materializing the gathered rows: log2(K) scalar-gather steps."""
+    p = targets.shape[0]
+    lo = jnp.zeros(p, dtype=jnp.int32)
+    hi = jnp.full(p, length, dtype=jnp.int32)
+    steps = int(np.ceil(np.log2(max(length, 2)))) + 1
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = sorted_rows[rows, jnp.clip(mid, 0, length - 1)]
+        go_right = v < targets
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def _per_point_kernel(
+    xyz,
+    intensity,
+    point_valid,
+    bank_row,
+    cand,            # (P, C, 4) gathered candidates: x, y, r, dist
+    n_window,        # (P,) exact angular-window population (overflow check)
+    min_int,
+    max_int,
+    focal_slope,
+    focal_offset,
+    range_grid,
+    cfg: SnowfallConfig,
+):
+    """Occlusion + pulse re-simulation for a chunk of P points."""
+    beam_rad = cfg.beam_divergence_rad
+    ipm = cfg.intervals_per_meter
+    c_tau = SPEED_OF_LIGHT * cfg.tau_h
+
+    d_orig = jnp.linalg.norm(xyz, axis=-1)
+    right, left = beam_limits(xyz[:, 0], xyz[:, 1], beam_rad)
+
+    a1, a2, hit = jax.vmap(candidate_intervals)(
+        right,
+        left,
+        cand[:, :, 0],
+        cand[:, :, 1],
+        cand[:, :, 2],
+        cand[:, :, 3],
+        jnp.ones(cand.shape[:2], dtype=bool),
+        d_orig,
+    )
+
+    n_hit = jnp.sum(hit, axis=1)
+    occ_overflow = jnp.maximum(n_hit - cfg.max_occluders, 0)
+
+    # nearest max_occluders by range = the reference's claim priority
+    score = jnp.where(hit, cand[:, :, 3], _INF)
+    neg_top, top_idx = jax.lax.top_k(-score, cfg.max_occluders)
+    occ_valid = neg_top > -_INF
+    occ_dist = -neg_top
+    occ_a1 = jnp.take_along_axis(a1, top_idx, axis=1)
+    occ_a2 = jnp.take_along_axis(a2, top_idx, axis=1)
+
+    ratio, remainder, touched = jax.vmap(
+        occlusion_sweep, in_axes=(0, 0, 0, 0, 0, None)
+    )(right, left, occ_a1, occ_a2, occ_valid, beam_rad)
+    touched_any = jnp.any(touched, axis=1)
+
+    # bump selection: keep the max_bumps largest nonzero occlusion ratios
+    n_bumps = jnp.sum(ratio > 0, axis=1)
+    bump_overflow = jnp.maximum(n_bumps - cfg.max_bumps, 0)
+    bump_ratio, bump_idx = jax.lax.top_k(ratio, cfg.max_bumps)
+    bump_r = jnp.take_along_axis(occ_dist, bump_idx, axis=1)
+
+    # all amplitudes use the snowflake scale 0.9*max_intensity (the CA_P0
+    # carry-over quirk; see ops/waveform.py docstring), including the
+    # partially-unoccluded hard target appended as the last bump
+    amp_scale = 0.9 * max_int
+    bump_amp = amp_scale[:, None] * bump_ratio * xsi(bump_r) / bump_r**2
+    bump_amp = jnp.where(bump_ratio > 0, bump_amp, 0.0)
+    tgt_amp = amp_scale * remainder * xsi(d_orig) / d_orig**2
+    all_r = jnp.concatenate([bump_r, d_orig[:, None]], axis=1)
+    all_amp = jnp.concatenate([bump_amp, tgt_amp[:, None]], axis=1)
+
+    i_peak, peak_idx = jax.vmap(waveform_peak, in_axes=(0, 0, None, None, None))(
+        all_r, all_amp, range_grid, ipm, cfg.tau_h
+    )
+    d_max = peak_idx.astype(jnp.float32) / ipm - c_tau / 2
+
+    # focal-slope re-adjustment and clipping (simulation.py:155-156)
+    i_max = i_peak + max_int * focal_slope * jnp.abs(
+        focal_offset - (1 - d_max / cfg.lidar_range) ** 2
+    )
+    i_max = jnp.clip(i_max, min_int, max_int)
+
+    attenuated = jnp.abs(d_max - d_orig) < cfg.range_tolerance
+    new_i = jnp.floor(i_max)  # int() truncation; i_max >= min_int >= 0
+
+    label = jnp.where(touched_any, jnp.where(attenuated, 1.0, 2.0), 0.0)
+    scale = jnp.where(touched_any & ~attenuated, d_max / d_orig, 1.0)
+    new_xyz = xyz * scale[:, None]
+    new_intensity = jnp.where(
+        touched_any, jnp.clip(new_i, min_int, max_int), intensity
+    )
+    diff = jnp.where(
+        touched_any & attenuated & point_valid, 0.9 * max_int - new_i, 0.0
+    )
+
+    stats_valid = point_valid
+    return (
+        new_xyz,
+        new_intensity,
+        label,
+        jnp.sum(diff),
+        jnp.sum(jnp.where(stats_valid, occ_overflow, 0)),
+        jnp.sum(jnp.where(stats_valid, bump_overflow, 0)),
+        jnp.sum(
+            jnp.where(stats_valid, jnp.maximum(n_window - cfg.window_size, 0), 0)
+        ),
+    )
+
+
+def snowfall_augment(
+    points,
+    mask,
+    bank,
+    calib_arrays,
+    order,
+    key,
+    cfg: SnowfallConfig,
+    plane=None,
+):
+    """Jittable full-scan snowfall augmentation.
+
+    Args:
+      points: (N, 5) float32 padded scan (x, y, z, intensity, channel)
+      mask:   (N,) bool validity
+      bank:   ParticleBank (device pytree)
+      calib_arrays: tuple of (min_intensity, focal_distance, focal_slope,
+        focal_offset, max_intensity) per channel — SensorCalib fields
+      order:  (num_channels,) i32 channel -> bank-row permutation (the
+        reference's shuffled particle-file assignment, injected for
+        reproducibility)
+      key:    PRNG key for the RANSAC plane fit
+      cfg:    static SnowfallConfig
+
+    Returns SnowfallResult with full-capacity arrays (compact on host with
+    utils.compact_cloud using result.keep).
+    """
+    n = points.shape[0]
+    assert n % cfg.point_chunk == 0, "max_points must be divisible by point_chunk"
+
+    min_int_lut, _, fs_lut, fo_lut, max_int_lut = calib_arrays
+
+    # 1. stable sort by channel, padding last
+    ch_key = jnp.where(mask, points[:, 4], 1e9)
+    perm = jnp.argsort(ch_key, stable=True)
+    points = points[perm]
+    mask = mask[perm]
+
+    xyz = points[:, :3]
+    intensity = points[:, 3]
+    channel = jnp.clip(points[:, 4].astype(jnp.int32), 0, order.shape[0] - 1)
+    dist = jnp.linalg.norm(xyz, axis=-1)
+
+    # 2. plane -> incident angles -> adaptive noise polynomial
+    if plane is None:
+        w, h = ransac_plane(xyz, mask, key, trials=cfg.ransac_trials)
+    else:
+        w, h = plane  # injected (parity tests / precomputed planes)
+    hog = xyz @ w + h
+    ground = mask & (hog < cfg.ground_delta) & (hog > -cfg.ground_delta)
+    incident = jnp.arccos(
+        jnp.clip((xyz @ w) / (jnp.maximum(dist, 1e-12) * jnp.linalg.norm(w)), -1, 1)
+    )
+    _, threshold = estimate_laser_parameters(
+        xyz, intensity, incident, ground, noise_floor=cfg.noise_floor
+    )
+    threshold = threshold * jnp.cos(incident)
+    noise_poly = masked_polyfit2(dist, threshold, ground)
+    noise_at = polyval2(noise_poly, dist)
+
+    # 3. per-point channel LUTs and candidate windows
+    bank_row = order[channel]
+    min_int = min_int_lut[channel]
+    fs = fs_lut[channel]
+    fo = fo_lut[channel]
+    max_int = max_int_lut[channel]
+
+    center = wrap_02pi(jnp.arctan2(xyz[:, 1], xyz[:, 0]))
+    delta = cfg.beam_divergence_rad / 2 + cfg.wide_threshold
+    k_ext = bank.angle.shape[1]
+    lo = _batched_searchsorted(bank.angle, bank_row, center - delta, k_ext)
+    hi = _batched_searchsorted(bank.angle, bank_row, center + delta, k_ext)
+    n_window = hi - lo
+
+    range_grid = jnp.asarray(cfg.range_grid())
+
+    def chunk_fn(args):
+        (xyz_c, int_c, valid_c, row_c, lo_c, nw_c, mi_c, fs_c, fo_c, mx_c,
+         center_c) = args
+        p = xyz_c.shape[0]
+        # windowed candidates, gated to the angular window to avoid duplicate
+        # wraparound copies (banks.py docstring)
+        widx = jnp.clip(lo_c[:, None] + jnp.arange(cfg.window_size)[None, :],
+                        0, k_ext - 1)
+        wcand = bank.data[row_c[:, None], widx]               # (P, S, 4)
+        wang = bank.angle[row_c[:, None], widx]
+        in_win = (wang >= (center_c - delta)[:, None]) & (
+            wang <= (center_c + delta)[:, None]
+        )
+        # out-of-window entries: push to infinite range so every test fails
+        wcand = wcand.at[:, :, 3].set(jnp.where(in_win, wcand[:, :, 3], 1e9))
+        wide = bank.wide[row_c]                               # (P, W, 4)
+        cand = jnp.concatenate([wcand, wide], axis=1)
+
+        return _per_point_kernel(
+            xyz_c, int_c, valid_c, row_c, cand, nw_c,
+            mi_c, mx_c, fs_c, fo_c, range_grid, cfg,
+        )
+
+    n_chunks = n // cfg.point_chunk
+    chunked = lambda a: a.reshape((n_chunks, cfg.point_chunk) + a.shape[1:])
+    outs = jax.lax.map(
+        chunk_fn,
+        (
+            chunked(xyz), chunked(intensity), chunked(mask), chunked(bank_row),
+            chunked(lo), chunked(n_window), chunked(min_int), chunked(fs),
+            chunked(fo), chunked(max_int), chunked(center),
+        ),
+    )
+    (new_xyz, new_int, label, diff_c, occ_of, bump_of, win_of) = outs
+    new_xyz = new_xyz.reshape(n, 3)
+    new_int = new_int.reshape(n)
+    label = label.reshape(n)
+
+    # 4. round intensities, noise-floor keep rule, stats
+    new_int = jnp.round(new_int)
+    keep = mask & ((label == 2) | (new_int > noise_at))
+    num_removed = jnp.sum(mask & ~keep).astype(jnp.int32)
+    num_attenuated = jnp.sum(keep & (label == 1)).astype(jnp.int32)
+
+    diff_sum = jnp.sum(diff_c)
+    avg_diff = jnp.where(
+        num_attenuated > 0,
+        (diff_sum / jnp.maximum(num_attenuated, 1)).astype(jnp.int32),
+        0,
+    )
+
+    out_points = jnp.concatenate(
+        [new_xyz, new_int[:, None], label[:, None]], axis=1
+    )
+    return SnowfallResult(
+        points=out_points,
+        keep=keep,
+        num_attenuated=num_attenuated,
+        num_removed=num_removed,
+        avg_intensity_diff=avg_diff,
+        window_overflow=jnp.sum(win_of).astype(jnp.int32),
+        occluder_overflow=jnp.sum(occ_of).astype(jnp.int32),
+        bump_overflow=jnp.sum(bump_of).astype(jnp.int32),
+    )
+
+
+def calib_device_arrays(calib: SensorCalib):
+    """SensorCalib fields consumed by snowfall_augment, as a device tuple."""
+    return (
+        jnp.asarray(calib.min_intensity),
+        jnp.asarray(calib.focal_distance),
+        jnp.asarray(calib.focal_slope),
+        jnp.asarray(calib.focal_offset),
+        jnp.asarray(calib.max_intensity),
+    )
+
+
+@dataclasses.dataclass
+class SnowfallAugmenter:
+    """Host-facing convenience wrapper: pads, runs the jitted core, compacts.
+
+    Mirrors the reference's `augment(pc, ...) -> (stats, aug_pc)` contract.
+    """
+
+    bank: object
+    calib: SensorCalib
+    cfg: SnowfallConfig = SnowfallConfig()
+    seed: int = 0
+
+    def __post_init__(self):
+        self._fn = jax.jit(
+            snowfall_augment, static_argnames=("cfg",)
+        )
+        self._calib_arrays = calib_device_arrays(self.calib)
+        self._bank_dev = jax.device_put(self.bank)
+
+    def __call__(self, pc, order=None, shuffle: bool = True):
+        from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
+
+        key = jax.random.PRNGKey(self.seed)
+        if order is None:
+            order = np.arange(self.calib.num_lasers)
+            if shuffle:
+                order = np.random.permutation(order)
+        padded = pad_cloud(np.asarray(pc), self.cfg.max_points)
+        res = self._fn(
+            jnp.asarray(padded.points),
+            jnp.asarray(padded.mask),
+            self._bank_dev,
+            self._calib_arrays,
+            jnp.asarray(order, dtype=jnp.int32),
+            key,
+            self.cfg,
+        )
+        res = jax.device_get(res)
+        for name in ("window_overflow", "occluder_overflow", "bump_overflow"):
+            v = int(getattr(res, name))
+            if v:
+                raise RuntimeError(
+                    f"{name}={v}: raise the corresponding SnowfallConfig capacity"
+                )
+        stats = (
+            int(res.num_attenuated),
+            int(res.num_removed),
+            int(res.avg_intensity_diff),
+        )
+        return stats, res.points[res.keep]

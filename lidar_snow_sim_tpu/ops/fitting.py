@@ -1,0 +1,145 @@
+"""Masked regression / RANSAC kernels (fixed shapes, jittable).
+
+Device equivalents of the reference's host-side estimators:
+- linregress (scipy.stats.linregress closed form) over masked points
+- degree-2 polyfit via centered/scaled normal equations (f32-stable)
+- RANSAC plane fit mirroring sklearn RANSACRegressor semantics as pinned in
+  oracle/fitting.py (squared residual vs MAD threshold, best-trial inlier
+  refit), with a fixed trial count and an injected PRNG key.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_mean(x, mask):
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, x, 0.0)) / n
+
+
+def masked_linregress(x, y, mask):
+    """Least-squares slope/intercept over masked samples."""
+    xm = masked_mean(x, mask)
+    ym = masked_mean(y, mask)
+    dx = jnp.where(mask, x - xm, 0.0)
+    dy = jnp.where(mask, y - ym, 0.0)
+    denom = jnp.sum(dx * dx)
+    slope = jnp.sum(dx * dy) / jnp.maximum(denom, 1e-30)
+    return slope, ym - slope * xm
+
+
+def masked_polyfit2(x, y, mask):
+    """Degree-2 least-squares fit; returns (p2, p1, p0), highest power first.
+
+    Solved in a centered/scaled basis u = (x - mu)/sigma so the 3x3 normal
+    equations stay well-conditioned in float32 even for x ~ 80 m ranges.
+    """
+    mu = masked_mean(x, mask)
+    var = masked_mean((x - mu) ** 2, mask)
+    sigma = jnp.sqrt(jnp.maximum(var, 1e-12))
+    u = jnp.where(mask, (x - mu) / sigma, 0.0)
+    w = mask.astype(x.dtype)
+
+    cols = jnp.stack([u * u, u, w], axis=-1)          # (N, 3)
+    g = cols.T @ cols                                  # (3, 3)
+    b = cols.T @ jnp.where(mask, y, 0.0)               # (3,)
+    a, bu, cu = jnp.linalg.solve(g + 1e-9 * jnp.eye(3), b)
+
+    # expand p(u) = a u^2 + bu u + cu back to x
+    p2 = a / (sigma * sigma)
+    p1 = bu / sigma - 2 * a * mu / (sigma * sigma)
+    p0 = a * mu * mu / (sigma * sigma) - bu * mu / sigma + cu
+    return jnp.stack([p2, p1, p0])
+
+
+def polyval2(p, x):
+    return p[0] * x * x + p[1] * x + p[2]
+
+
+def masked_median(x, mask):
+    """Median over masked values (numpy semantics: mean of the two middle
+    order statistics for even counts)."""
+    n = jnp.sum(mask)
+    big = jnp.float32(3.0e38)
+    s = jnp.sort(jnp.where(mask, x, big))
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.maximum(n // 2, 0)
+    return (s[lo] + s[hi]) * 0.5
+
+
+def ransac_plane(
+    xyz,
+    mask,
+    key,
+    trials: int = 64,
+    standard_height: float = -1.55,
+):
+    """RANSAC ground-plane fit with the reference's crop and fallback.
+
+    Device port of oracle/fitting.ransac_plane (itself pinned to
+    tools/wet_ground/planes.py:12-50). Returns (w, h): unit normal (3,) and
+    raw intercept. Falls back to the flat-earth plane ([0,0,1], -1.55) when
+    the crop has <= 3 points or the refit degenerates.
+    """
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    crop = (
+        mask
+        & (z < -1.55)
+        & (z > -1.86 - 0.01 * x)
+        & (x > 10)
+        & (x < 70)
+        & (y > -3)
+        & (y < 3)
+    )
+    n_crop = jnp.sum(crop)
+
+    thresh = masked_median(jnp.abs(z - masked_median(z, crop)), crop)
+
+    logits = jnp.where(crop, 0.0, -jnp.inf)
+    idx = jax.random.categorical(key, logits, shape=(trials, 3))  # (T, 3)
+
+    pts = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)            # (N, 3)
+
+    def trial(i3):
+        a = pts[i3]                    # (3, 3) rows [x, y, 1]
+        zz = z[i3]
+        coef = jnp.linalg.solve(a + 1e-12 * jnp.eye(3), zz)
+        resid = z - (x * coef[0] + y * coef[1] + coef[2])
+        ok = jnp.isfinite(coef).all()
+        inl = crop & (resid**2 < thresh) & ok
+        return jnp.sum(inl), inl
+
+    counts, inliers = jax.vmap(trial)(idx)             # (T,), (T, N)
+    best = jnp.argmax(counts)
+    inl = inliers[best]
+
+    # weighted least-squares refit on best-trial inliers (centered for f32)
+    w_ = inl.astype(jnp.float32)
+    n_in = jnp.maximum(jnp.sum(w_), 1.0)
+    mx = jnp.sum(w_ * x) / n_in
+    my = jnp.sum(w_ * y) / n_in
+    mz = jnp.sum(w_ * z) / n_in
+    cx, cy, cz = x - mx, y - my, z - mz
+    sxx = jnp.sum(w_ * cx * cx)
+    sxy = jnp.sum(w_ * cx * cy)
+    syy = jnp.sum(w_ * cy * cy)
+    sxz = jnp.sum(w_ * cx * cz)
+    syz = jnp.sum(w_ * cy * cz)
+    g = jnp.array([[sxx, sxy], [sxy, syy]])
+    ab = jnp.linalg.solve(g + 1e-9 * jnp.eye(2), jnp.array([sxz, syz]))
+    intercept = mz - ab[0] * mx - ab[1] * my
+
+    w_vec = jnp.array([ab[0], ab[1], -1.0])
+    w_vec = w_vec / jnp.linalg.norm(w_vec)
+
+    good = (
+        (n_crop > 3)
+        & (jnp.sum(inl) >= 3)
+        & jnp.isfinite(w_vec).all()
+        & jnp.isfinite(intercept)
+    )
+    w_out = jnp.where(good, w_vec, jnp.array([0.0, 0.0, 1.0]))
+    h_out = jnp.where(good, intercept, standard_height)
+    return w_out, h_out

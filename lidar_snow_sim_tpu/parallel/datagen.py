@@ -1,0 +1,171 @@
+"""Offline dataset generation: batched, sharded, resumable.
+
+TPU-native replacement for the reference's serial datagen driver
+(`tools/snowfall/precompute.py:47-106`): instead of one scan at a time through
+a 64-thread pool, scans are padded to a fixed capacity, batched, vmapped, and
+(optionally) sharded over a device mesh; outputs are compacted on host and
+written as STF-format .bin files with the reference's idempotent
+skip-if-exists resume semantics.
+
+Directory layout matches the reference so augmented clouds drop into
+OpenPCDet training unchanged:
+  {out_root}/snowfall_simulation/{mode}/{lidar_folder}_rainrate_{int(rr)}/{id}.bin
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DatagenStats:
+    frames_done: int = 0
+    frames_skipped: int = 0
+    frames_failed: int = 0
+    points_in: int = 0
+    points_out: int = 0
+    attenuated: int = 0
+    removed: int = 0
+    wall_s: float = 0.0
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def run_snowfall_datagen(
+    sample_ids: Sequence[str],
+    load_fn: Callable[[str], np.ndarray],
+    out_dir: str | Path,
+    bank,
+    calib,
+    snow_cfg,
+    batch: int = 8,
+    seed: int = 0,
+    shuffle_channels: bool = True,
+    fov_filter=None,
+    overwrite: bool = False,
+) -> DatagenStats:
+    """Augment every sample id and write `{out_dir}/{id}.bin`.
+
+    load_fn maps a sample id to an (N, 5) float32 scan (typically
+    utils.load_velodyne_bin of the STF lidar folder). Existing outputs are
+    skipped (resume semantics, precompute.py:91-92). Oversized scans are
+    FOV/row-truncated to capacity with a warning (tracked in stats).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_snow_sim_tpu.models.snowfall import (
+        calib_device_arrays,
+        snowfall_augment,
+    )
+    from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stats = DatagenStats()
+    t_start = time.time()
+
+    calib_arrays = calib_device_arrays(calib)
+    bank_dev = jax.device_put(bank)
+    rng = np.random.default_rng(seed)
+
+    step = jax.jit(
+        jax.vmap(
+            lambda p, m, o, k: snowfall_augment(
+                p, m, bank_dev, calib_arrays, o, k, snow_cfg
+            )
+        )
+    )
+
+    todo = []
+    for sid in sample_ids:
+        out_path = out_dir / f"{sid}.bin"
+        if out_path.exists() and not overwrite:
+            stats.frames_skipped += 1
+            continue
+        todo.append((sid, out_path))
+
+    for i in range(0, len(todo), batch):
+        chunk = todo[i : i + batch]
+        pts_list, mask_list, ids = [], [], []
+        for sid, out_path in chunk:
+            try:
+                pc = load_fn(sid)
+            except Exception as e:  # noqa: BLE001 - per-frame fault tolerance
+                logger.warning("failed to load %s: %s", sid, e)
+                stats.frames_failed += 1
+                continue
+            if fov_filter is not None:
+                pc = pc[fov_filter(pc[:, :3])]
+            if len(pc) > snow_cfg.max_points:
+                logger.warning(
+                    "%s: %d points > capacity %d, truncating",
+                    sid, len(pc), snow_cfg.max_points,
+                )
+                pc = pc[: snow_cfg.max_points]
+            padded = pad_cloud(pc, snow_cfg.max_points)
+            pts_list.append(padded.points)
+            mask_list.append(padded.mask)
+            ids.append((sid, out_path, len(pc)))
+        if not pts_list:
+            continue
+        # pad the batch to full width so one compiled step serves every batch
+        while len(pts_list) < batch:
+            pts_list.append(pts_list[-1])
+            mask_list.append(np.zeros_like(mask_list[-1]))
+
+        orders = np.stack(
+            [
+                rng.permutation(calib.num_lasers)
+                if shuffle_channels
+                else np.arange(calib.num_lasers)
+                for _ in range(batch)
+            ]
+        ).astype(np.int32)
+        keys = jax.random.split(jax.random.PRNGKey(rng.integers(2**31)), batch)
+
+        res = jax.device_get(
+            step(
+                jnp.asarray(np.stack(pts_list)),
+                jnp.asarray(np.stack(mask_list)),
+                jnp.asarray(orders),
+                keys,
+            )
+        )
+        for j, (sid, out_path, n_in) in enumerate(ids):
+            aug = res.points[j][res.keep[j]]
+            aug.astype(np.float32).tofile(out_path)
+            stats.frames_done += 1
+            stats.points_in += n_in
+            stats.points_out += len(aug)
+            stats.attenuated += int(res.num_attenuated[j])
+            stats.removed += int(res.num_removed[j])
+
+    stats.wall_s = time.time() - t_start
+    return stats
+
+
+def iter_reference_grid(
+    modes: Iterable[str] = ("gunn", "sekhon"),
+    snowfall_rates=(0.5, 1.0, 2.0, 2.5, 1.5),
+    terminal_velocities=(2.0, 1.6, 2.0, 1.6, 0.6),
+):
+    """The reference datagen grid: (mode, rainfall_rate, occupancy) combos
+    (precompute.py:20-21,53-60)."""
+    from lidar_snow_sim_tpu.sampling.distributions import (
+        compute_occupancy,
+        snowfall_rate_to_rainfall_rate,
+    )
+
+    for mode in modes:
+        for s, v in zip(snowfall_rates, terminal_velocities):
+            yield mode, snowfall_rate_to_rainfall_rate(s, v), compute_occupancy(s, v)

@@ -43,8 +43,15 @@ def synthetic_scan(
     dir_y = np.cos(el_g) * np.sin(az_g)
     dir_z = np.sin(el_g)
 
-    # Ground-plane hit: z = -sensor_height (+ mild slope/roughness)
-    t_ground = np.where(dir_z < -1e-4, -sensor_height / dir_z, np.inf)
+    # Ground-plane hit with a mild random road grade and cm-level roughness
+    # (a perfect plane would make the RANSAC MAD threshold degenerate).
+    slope_x = rng.uniform(-0.01, 0.01)
+    slope_y = rng.uniform(-0.005, 0.005)
+    denom = dir_z - slope_x * dir_x - slope_y * dir_y
+    t_ground = np.where(denom < -1e-4, -sensor_height / denom, np.inf)
+    rough = rng.normal(0.0, 0.02, size=t_ground.shape)
+    t_ground = t_ground * (1.0 + np.where(np.isfinite(t_ground), rough / 80.0, 0.0))
+    t_ground = t_ground + np.where(np.isfinite(t_ground), rough, 0.0)
 
     # Box obstacles: axis-aligned, random positions in front of the sensor.
     t_hit = t_ground.copy()

@@ -1,0 +1,186 @@
+"""End-to-end snowfall parity: jitted TPU pipeline vs the NumPy oracle.
+
+Plane and channel->bank order are injected into both sides so the comparison
+isolates the occlusion + pulse-resimulation semantics (the unseeded pieces are
+pinned per SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_snow_sim_tpu.config import SnowfallConfig
+from lidar_snow_sim_tpu.calib import load_hdl64_calib
+from lidar_snow_sim_tpu.models.snowfall import (
+    calib_device_arrays,
+    snowfall_augment,
+)
+from lidar_snow_sim_tpu.oracle.snowfall import augment as augment_oracle
+from lidar_snow_sim_tpu.sampling.banks import build_bank
+from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
+
+BEAM_DIV_DEG = float(np.degrees(3e-3))
+# Reference plane convention (planes.py:35-41): w = [a, b, -1]/|.|, h = raw
+# z-intercept of z = a x + b y + c.
+_W = np.array([0.005, -0.003, -1.0])
+PLANE = (_W / np.linalg.norm(_W), -1.55)
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    calib = load_hdl64_calib()
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    pc = synthetic_scan(n_azimuth=100, seed=1, calib=calib)
+    # pre-sort by channel so the device's stable sort is the identity and
+    # rows align 1:1 with the oracle
+    pc = pc[np.argsort(pc[:, 4], kind="stable")]
+
+    rng = np.random.default_rng(11)
+    sets = []
+    for _ in range(64):
+        ang = rng.uniform(0, 2 * np.pi, 250)
+        d = np.sqrt(rng.uniform(0.01, 1, 250)) * 60
+        r = rng.uniform(0.005, 0.05, 250)
+        sets.append(np.column_stack([d * np.cos(ang), d * np.sin(ang), r]))
+
+    cfg = SnowfallConfig(
+        max_points=1 << int(np.ceil(np.log2(len(pc)))),
+        window_size=256,
+        wide_capacity=64,
+        max_occluders=48,
+        max_bumps=24,
+        point_chunk=256,
+    )
+    bank = build_bank(
+        sets,
+        window_size=cfg.window_size,
+        wide_threshold=cfg.wide_threshold,
+        wide_capacity=cfg.wide_capacity,
+    )
+    order = np.random.default_rng(3).permutation(64)
+    return calib, pc, sets, bank, order, cfg
+
+
+def test_full_pipeline_parity(setup):
+    calib, pc, sets, bank, order, cfg = setup
+
+    stats_o, aug_o_full = augment_oracle(
+        pc.astype(np.float64),
+        sets,
+        calib,
+        order,
+        BEAM_DIV_DEG,
+        plane=PLANE,
+    )
+
+    padded = pad_cloud(pc, cfg.max_points)
+    res = jax.jit(snowfall_augment, static_argnames=("cfg",))(
+        jnp.asarray(padded.points),
+        jnp.asarray(padded.mask),
+        jax.device_put(bank),
+        calib_device_arrays(calib),
+        jnp.asarray(order, jnp.int32),
+        jax.random.PRNGKey(0),
+        cfg,
+        plane=(jnp.asarray(PLANE[0], jnp.float32), jnp.float32(PLANE[1])),
+    )
+    res = jax.device_get(res)
+
+    assert res.window_overflow == 0
+    assert res.occluder_overflow == 0
+    assert res.bump_overflow == 0
+
+    n = len(pc)
+    got = res.points[:n]
+    keep = res.keep[:n]
+
+    # --- per-point parity BEFORE the keep filter ---------------------------
+    # run the oracle again without the noise filter by reconstructing its
+    # pre-filter cloud: oracle returns the filtered cloud, so instead compare
+    # the jax points against an oracle re-run at the channel level
+    from lidar_snow_sim_tpu.oracle.snowfall import (
+        occlusion_dicts,
+        resimulate_channel,
+    )
+    from lidar_snow_sim_tpu.oracle.snowfall import _wrap_02pi
+
+    mismatch_label = 0
+    mismatch_int = 0
+    mismatch_xyz = 0
+    total = 0
+    beam_rad = np.radians(BEAM_DIV_DEG)
+    for channel in range(64):
+        m = pc[:, 4] == channel
+        if not m.any():
+            continue
+        cpc = pc[m].astype(np.float64)
+        d = np.linalg.norm(cpc[:, :3], axis=1)
+        center = _wrap_02pi(np.arctan2(cpc[:, 1], cpc[:, 0]))
+        beams = np.column_stack(
+            [_wrap_02pi(center - beam_rad / 2), _wrap_02pi(center + beam_rad / 2)]
+        )
+        occl = occlusion_dicts(beams, d, sets[order[channel]], BEAM_DIV_DEG)
+        _, want = resimulate_channel(
+            cpc, occl, channel,
+            float(calib.min_intensity[channel]),
+            float(calib.focal_distance[channel]),
+            float(calib.focal_slope[channel]),
+        )
+        have = got[m]
+        total += len(want)
+        mismatch_label += int((have[:, 4] != want[:, 4]).sum())
+        mismatch_int += int(
+            (np.abs(have[:, 3] - np.round(want[:, 3])) > 1).sum()
+        )
+        mismatch_xyz += int(
+            (np.abs(have[:, :3] - want[:, :3]).max(axis=1) > 0.05).sum()
+        )
+
+    assert total == n
+    # f32 vs f64 tie-breaks on bin boundaries / floor() edges
+    assert mismatch_label / total < 0.01, f"{mismatch_label}/{total} labels differ"
+    assert mismatch_int / total < 0.01
+    assert mismatch_xyz / total < 0.01
+
+    # --- statistics parity --------------------------------------------------
+    na_o, nr_o, ad_o = stats_o
+    assert abs(int(res.num_attenuated) - na_o) / max(na_o, 1) < 0.05
+    assert abs(int(res.num_removed) - nr_o) / max(nr_o, 1) < 0.08
+    if na_o > 0:
+        assert abs(int(res.avg_intensity_diff) - ad_o) <= 3
+
+    # --- compacted cloud sanity --------------------------------------------
+    aug_jax = got[keep]
+    assert abs(len(aug_jax) - len(aug_o_full)) / max(len(aug_o_full), 1) < 0.08
+    labels = aug_jax[:, 4]
+    assert set(np.unique(labels)).issubset({0.0, 1.0, 2.0})
+
+
+def test_no_particles_is_identity(setup):
+    """With empty particle sets every point is label 0 and only the noise
+    floor filter applies."""
+    calib, pc, _, _, order, cfg = setup
+    sets = [np.zeros((0, 3))] * 64
+    bank = build_bank(
+        sets, window_size=cfg.window_size, wide_capacity=cfg.wide_capacity
+    )
+    padded = pad_cloud(pc, cfg.max_points)
+    res = jax.jit(snowfall_augment, static_argnames=("cfg",))(
+        jnp.asarray(padded.points),
+        jnp.asarray(padded.mask),
+        jax.device_put(bank),
+        calib_device_arrays(calib),
+        jnp.asarray(order, jnp.int32),
+        jax.random.PRNGKey(0),
+        cfg,
+        plane=(jnp.asarray(PLANE[0], jnp.float32), jnp.float32(PLANE[1])),
+    )
+    res = jax.device_get(res)
+    n = len(pc)
+    assert res.num_attenuated == 0
+    np.testing.assert_array_equal(res.points[:n, 4], 0.0)
+    # untouched points keep their coordinates and intensities
+    np.testing.assert_allclose(res.points[:n, :3], pc[:, :3], rtol=1e-6)
+    np.testing.assert_allclose(res.points[:n, 3], pc[:, 3], atol=0.5)
