@@ -1,0 +1,205 @@
+"""Tests for the weather-baseline models: fog, STF fog, LISA, DROR.
+
+These cover the consumed surface of the reference's submodules (SURVEY.md
+§2.3): physical invariants, determinism, label conventions, and masking.
+"""
+
+import numpy as np
+import pytest
+
+from lidar_snow_sim_tpu.models.dror import (
+    DROR_LEVELS,
+    dror_snow_stats,
+    dynamic_radius_outlier_filter,
+    get_cube_mask,
+    snow_level,
+)
+from lidar_snow_sim_tpu.models.fog import (
+    FogAugmenter,
+    FogParameterSet,
+    soft_response_curve,
+)
+from lidar_snow_sim_tpu.models.lisa import LISA
+from lidar_snow_sim_tpu.models.stf_fog import (
+    BetaRandomization,
+    StfFogAugmenter,
+)
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(3)
+    n = 3000
+    ang = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(3, 80, n)
+    return np.column_stack(
+        [
+            r * np.cos(ang),
+            r * np.sin(ang),
+            rng.uniform(-1.8, 1.0, n),
+            rng.uniform(20, 200, n),
+            rng.integers(0, 64, n),
+        ]
+    ).astype(np.float32)
+
+
+# ---------------- fog (ICCV'21 surface) ----------------
+
+
+def test_fog_soft_curve_monotone_in_alpha():
+    """Denser fog -> stronger soft-channel peak, nearer takeover."""
+    peaks = []
+    for alpha in (0.005, 0.02, 0.06):
+        _, s = soft_response_curve(FogParameterSet(alpha=alpha))
+        peaks.append(float(np.max(np.asarray(s))))
+    assert peaks[0] < peaks[1] < peaks[2]
+
+
+def test_fog_scatter_count_grows_with_alpha(cloud):
+    counts = []
+    for alpha in (0.005, 0.02, 0.06):
+        _, stats = FogAugmenter(FogParameterSet(alpha=alpha))(cloud)
+        counts.append(stats["num_scattered"])
+    assert counts[0] < counts[1] < counts[2]
+
+
+def test_fog_scattered_points_near_sensor(cloud):
+    aug, _ = FogAugmenter(FogParameterSet(alpha=0.06))(cloud)
+    fog_pts = aug[aug[:, 4] == 2]
+    assert len(fog_pts) > 0
+    r = np.linalg.norm(fog_pts[:, :3], axis=1)
+    # fog clutter clusters at the soft-response peak (± jitter), near sensor
+    assert float(r.max()) < 10.0
+
+
+def test_fog_attenuates_kept_points(cloud):
+    p = FogParameterSet(alpha=0.02)
+    aug, _ = FogAugmenter(p)(cloud)
+    kept = aug[aug[:, 4] == 0]
+    assert len(kept) > 0
+    assert float(kept[:, 3].max()) < float(cloud[:, 3].max())
+
+
+# ---------------- STF fog ----------------
+
+
+def test_beta_randomization_seeded_and_positive():
+    b1 = BetaRandomization(0.05, seed=5)
+    b2 = BetaRandomization(0.05, seed=5)
+    b3 = BetaRandomization(0.05, seed=6)
+    az = np.linspace(0, 2 * np.pi, 100)
+    v1, v2, v3 = (np.asarray(b.get_beta(az)) for b in (b1, b2, b3))
+    np.testing.assert_allclose(v1, v2)
+    assert not np.allclose(v1, v3)
+    assert (v1 > 0).all()
+    # field averages to ~beta
+    assert abs(v1.mean() - 0.05) < 0.02
+
+
+def test_stf_fog_counts_and_labels(cloud):
+    aug, stats = StfFogAugmenter(beta=0.05, seed=1)(cloud)
+    assert (
+        stats["num_scattered"] + stats["num_attenuated"] == len(aug)
+    )
+    assert stats["num_removed"] == len(cloud) - len(aug)
+    assert set(np.unique(aug[:, 4])) <= {0.0, 2.0}
+    # denser fog removes more
+    _, stats_dense = StfFogAugmenter(beta=0.15, seed=1)(cloud)
+    assert (
+        stats_dense["num_removed"] + stats_dense["num_scattered"]
+        > stats["num_removed"] + stats["num_scattered"]
+    )
+
+
+# ---------------- LISA ----------------
+
+
+def test_lisa_alpha_increases_with_rain_rate():
+    l = LISA(dsd_points=64)
+    alphas = [l.alpha(rr) for rr in (1.0, 5.0, 25.0)]
+    assert alphas[0] < alphas[1] < alphas[2]
+    # published order of magnitude: ~1e-4..1e-2 1/m for 1..25 mm/h at 905 nm
+    assert 1e-5 < alphas[0] < 1e-3
+    assert 1e-4 < alphas[2] < 1e-1
+
+
+def test_lisa_nd_marshall_palmer():
+    l = LISA(dsd_points=64)
+    d = np.array([0.5, 1.0, 2.0])
+    nd = l.Nd(d, 10.0)
+    assert (np.diff(nd) < 0).all()  # exponential decay in D
+    np.testing.assert_allclose(
+        nd, 8000.0 * np.exp(-4.1 * 10.0**-0.21 * d)
+    )
+
+
+def test_lisa_augment_labels_and_determinism(cloud):
+    l = LISA(dsd_points=64)
+    aug1, s1 = l.augment(cloud, 10.0, fixed_seed=True)
+    aug2, s2 = l.augment(cloud, 10.0, fixed_seed=True)
+    np.testing.assert_allclose(aug1, aug2)
+    assert s1 == s2
+    assert set(np.unique(aug1[:, 4])) <= {1.0, 2.0}
+    assert s1["num_lost"] + len(aug1) == len(cloud)
+    # scattered points moved closer than their originals ever were
+    scat = aug1[aug1[:, 4] == 1.0]
+    if len(scat):
+        assert np.linalg.norm(scat[:, :3], axis=1).max() <= 80.0 + 1e-3
+
+
+def test_lisa_heavier_rain_more_perturbation(cloud):
+    l = LISA(dsd_points=64)
+    _, light = l.augment(cloud, 1.0, fixed_seed=True)
+    _, heavy = l.augment(cloud, 50.0, fixed_seed=True)
+    assert (
+        heavy["num_lost"] + heavy["num_scattered"]
+        > light["num_lost"] + light["num_scattered"]
+    )
+
+
+# ---------------- DROR ----------------
+
+
+def test_dror_keeps_dense_removes_sparse():
+    rng = np.random.default_rng(0)
+    # a dense wall patch at 10 m (spacing ~2 cm << sr) + isolated floaters
+    grid = np.stack(
+        np.meshgrid(np.linspace(-1, 1, 40), np.linspace(-1, 1, 40)),
+        axis=-1,
+    ).reshape(-1, 2)
+    wall = np.column_stack(
+        [np.full(len(grid), 10.0), grid[:, 0], grid[:, 1]]
+    )
+    floaters = rng.uniform(-40, 40, (50, 3)) + np.array([60, 0, 0])
+    pc = np.vstack([wall, floaters]).astype(np.float32)
+    keep = dynamic_radius_outlier_filter(pc)
+    assert keep[: len(wall)].all()
+    assert not keep[len(wall):].any()
+
+
+def test_dror_radius_scales_with_range():
+    """The same 12 cm spacing survives at far range, not at near range."""
+    def line_at(dist, spacing, n=30):
+        y = np.arange(n) * spacing
+        return np.column_stack([np.full(n, dist), y, np.zeros(n)])
+
+    near = line_at(2.0, 0.12).astype(np.float32)
+    far = line_at(60.0, 0.12).astype(np.float32)
+    # sr(2 m) = max(0.04, 3*0.0079*2) = 0.047 < 0.12 -> all removed
+    assert not dynamic_radius_outlier_filter(near).any()
+    # sr(60 m) = 1.41 > 0.12 -> all kept
+    assert dynamic_radius_outlier_filter(far).all()
+
+
+def test_dror_cube_and_levels():
+    pc = np.array(
+        [[5.0, 0.0, 0.0, 0, 0], [30.0, 0.0, 0.0, 0, 0], [5.0, -20.0, 0.0, 0, 0]],
+        np.float32,
+    )
+    mask = get_cube_mask(pc)
+    assert mask.tolist() == [True, False, False]
+    assert snow_level(10) == "light"
+    assert snow_level(DROR_LEVELS["medium"][0]) == "medium"
+    assert snow_level(10**6) == "heavy"
+    num, level = dror_snow_stats(pc)
+    assert level == snow_level(num)
