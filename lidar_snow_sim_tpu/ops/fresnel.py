@@ -29,6 +29,34 @@ def fresnel_power(ain, nair: float = 1.0003, nw: float = 1.33):
     return rs**2, ts**2 / power_frac, rp**2, tp**2 / power_frac, aout
 
 
+def bathymetric_scattering(
+    ain,
+    depth: float = 0.002,
+    nair: float = 1.0003,
+    nw: float = 1.33,
+    beta: float = 0.001,
+):
+    """Water-column absorption factor for a thin bathymetric layer.
+
+    Reference `tools/wet_ground/phy_equations.py:111-126`
+    (`baryometric_sattering`): two-way Beer-Lambert absorption along the
+    refracted path through a water layer of the given depth, weighted by the
+    cos^2 incidence falloff.
+    """
+    aout = jnp.arcsin(jnp.clip(jnp.sin(ain) * nair / nw, -1.0, 1.0))
+    return jnp.exp(-2.0 * beta * depth / jnp.cos(aout)) * jnp.cos(ain) ** 2
+
+
+def lidar_measurement(
+    distances, height: float = 1.55, i_out: float = 1.0, rho: float = 0.12,
+    natm: float = 1.0, c: float = 1.0,
+):
+    """Flat-earth received-intensity model (phy_equations.py:250-268):
+    I_rec = I_out * cos(arctan(d / h)) * rho * natm * C."""
+    angles = jnp.arctan(jnp.asarray(distances) / height)
+    return i_out * jnp.cos(angles) * rho * natm * c
+
+
 def total_transmittance_from_ground(
     ain, nair: float = 1.0003, nw: float = 1.33, rho=0.9
 ):
