@@ -18,10 +18,49 @@ __version__ = "0.1.0"
 from lidar_snow_sim_tpu.config import SnowfallConfig, WetGroundConfig
 from lidar_snow_sim_tpu.calib import SensorCalib, load_hdl64_calib
 
+
+def __getattr__(name):
+    """Lazy top-level API: heavyweight models import on first touch so that
+    `import lidar_snow_sim_tpu` stays cheap (no jax trace-time work)."""
+    lazy = {
+        "SnowfallAugmenter": "lidar_snow_sim_tpu.models.snowfall",
+        "WetGroundAugmenter": "lidar_snow_sim_tpu.models.wet_ground",
+        "FogAugmenter": "lidar_snow_sim_tpu.models.fog",
+        "FogParameterSet": "lidar_snow_sim_tpu.models.fog",
+        "StfFogAugmenter": "lidar_snow_sim_tpu.models.stf_fog",
+        "BetaRandomization": "lidar_snow_sim_tpu.models.stf_fog",
+        "LISA": "lidar_snow_sim_tpu.models.lisa",
+        "dynamic_radius_outlier_filter": "lidar_snow_sim_tpu.models.dror",
+        "CameraCalibration": "lidar_snow_sim_tpu.camera",
+        "camera_fov_mask": "lidar_snow_sim_tpu.camera",
+        "ParticleBank": "lidar_snow_sim_tpu.sampling.banks",
+        "build_bank": "lidar_snow_sim_tpu.sampling.banks",
+        "load_bank_files": "lidar_snow_sim_tpu.sampling.banks",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "SnowfallConfig",
     "WetGroundConfig",
     "SensorCalib",
     "load_hdl64_calib",
+    "SnowfallAugmenter",
+    "WetGroundAugmenter",
+    "FogAugmenter",
+    "FogParameterSet",
+    "StfFogAugmenter",
+    "BetaRandomization",
+    "LISA",
+    "dynamic_radius_outlier_filter",
+    "CameraCalibration",
+    "camera_fov_mask",
+    "ParticleBank",
+    "build_bank",
+    "load_bank_files",
     "__version__",
 ]
