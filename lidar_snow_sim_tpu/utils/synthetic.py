@@ -1,8 +1,10 @@
 """Synthetic HDL-64-like scan generation.
 
 Used by tests and benchmarks when the STF/DENSE dataset is not on disk. The
-scene is a flat ground plane at sensor height -1.55 m (the DENSE mounting
-height, reference `tools/wet_ground/planes.py:12`) plus a few box obstacles,
+scene is a near-flat ground plane ~1.7 m below the sensor — dipping under the
+nominal -1.55 m DENSE mounting height so the reference's ground crop
+(z < -1.55, `tools/wet_ground/planes.py:21-26`) actually populates — plus a
+few box obstacles,
 ray-cast per (channel, azimuth) with a distance-decaying intensity model so the
 reference's laser-parameter estimators (linear power fit + histogram noise
 floor) produce sensible values.
@@ -18,7 +20,7 @@ from lidar_snow_sim_tpu.calib import SensorCalib, load_hdl64_calib
 def synthetic_scan(
     n_azimuth: int = 870,
     fov_deg: float = 87.0,
-    sensor_height: float = 1.55,
+    sensor_height: float = 1.7,
     max_range: float = 80.0,
     seed: int = 0,
     calib: SensorCalib | None = None,
