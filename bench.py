@@ -74,11 +74,16 @@ def main():
 
     cfg = SnowfallConfig(
         max_points=1 << int(np.ceil(np.log2(len(pc)))),
-        window_size=256,
-        wide_capacity=128,
-        max_occluders=64,
-        max_bumps=32,
+        window_size=128,
+        wide_capacity=16,
+        max_occluders=24,
+        max_bumps=16,
         point_chunk=2048,
+        assembly=os.environ.get("BENCH_ASSEMBLY", "dense"),
+        channel_capacity=1024,
+        block_points=128,
+        slice_width=768,
+        chunk_group=8,
     )
     bank = jax.device_put(
         build_bank(

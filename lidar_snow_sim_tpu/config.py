@@ -58,17 +58,32 @@ class SnowfallConfig:
     xsi_r2: float = 1.0   # receiver overlap ramp end
     range_tolerance: float = 0.2  # |d_max - d_orig| threshold (simulation.py:158)
 
-    # capacities (static shapes)
+    # capacities (static shapes). Defaults are sized from measured populations
+    # on the heaviest reference rate (2.5 mm/h, ~18k particles/channel):
+    # window max 64, intersecting occluders max 14, wide particles max 2 —
+    # with ~2x headroom. Overflows raise in the host wrapper, never silently
+    # truncate, so denser custom banks fail loudly; bump the capacities then.
     max_points: int = 32768
-    window_size: int = 1024
-    wide_capacity: int = 128
-    max_occluders: int = 64
-    max_bumps: int = 32
-    point_chunk: int = 512
+    window_size: int = 128
+    wide_capacity: int = 16
+    max_occluders: int = 24
+    max_bumps: int = 16
+    point_chunk: int = 2048
 
     # candidate windowing
     wide_threshold: float = 5e-3  # rad; particles with angular half-width
     # above this go to the wide list instead of the angle-sorted window
+
+    # dense-slice assembly (assembly="dense"): points are laid out
+    # (channel, azimuth)-sorted into (num_channels, channel_capacity) slots;
+    # each block of block_points consecutive beams shares ONE contiguous
+    # bank slice of slice_width particles (a dynamic slice, not a gather).
+    # chunk_group blocks are vmapped per lax.map step for VPU occupancy.
+    assembly: str = "window"        # "window" | "dense"
+    channel_capacity: int = 1024    # max points per channel (dense)
+    block_points: int = 128         # beams per shared slice (dense)
+    slice_width: int = 768          # particles per shared slice (dense)
+    chunk_group: int = 8            # blocks vmapped together (dense)
 
     # plane fit / laser parameter estimation
     ransac_trials: int = 64

@@ -75,20 +75,45 @@ class LISA:
         self.max_droplets = max_droplets
         self.show_progressbar = show_progressbar  # accepted for API parity
 
-        self._lut = bake_mie_lut(wavelength_nm=wavelength)
-        # quadrature grid over diameter for alpha(Rr) and the DSD inverse CDF
-        self._d_grid = np.geomspace(min_diameter, 10.0, dsd_points)  # mm
+        # ice refractive index for snow mode (Warren & Brandt 2008, 905 nm);
+        # water otherwise
+        from lidar_snow_sim_tpu.ops.mie import WATER_M_905NM
+
+        m = complex(1.302, 2.9e-7) if mode == "snow" else WATER_M_905NM
+        self._lut = bake_mie_lut(wavelength_nm=wavelength, m=m)
+        # quadrature grid over diameter for alpha(Rr) and the DSD inverse CDF;
+        # fog droplets live at µm scales, precipitation at mm scales
+        if mode == "fog":
+            d_lo = min(min_diameter, 1e-3)
+            d_hi = 0.1
+        else:
+            d_lo, d_hi = min_diameter, 10.0
+        self._d_grid = np.geomspace(d_lo, d_hi, dsd_points)  # mm
         self._qext = self._lut.interp_qext(self._d_grid)
         self._qback = self._lut.interp_qback(self._d_grid)
         self._jit_augment = jax.jit(self._augment_core)
 
-    # ---- drop-size distribution (Marshall–Palmer family) ----
+    # ---- particle-size distributions (exponential family) ----
 
     def Nd(self, D, Rr):
-        """Drop-size distribution [m⁻³ mm⁻¹] at diameter D [mm], rain rate
-        Rr [mm/h] (Marshall–Palmer with LISA's Rr-dependent slope)."""
+        """Particle-size distribution [m⁻³ mm⁻¹] at diameter D [mm] for
+        precipitation rate Rr [mm/h], by mode:
+
+        - rain: Marshall–Palmer, N₀ = 8000, Λ = 4.1·Rr^-0.21
+        - snow: Gunn–Marshall, N₀ = 3800·Rr^-0.87, Λ = 2.55·Rr^-0.48
+          (25.5 cm⁻¹ in the reference's sampling units, sampling.py:81-87)
+        - fog:  droplet field with a modal-diameter gamma-like profile; Rr is
+          reused as a density knob (as the submodule does for its fog presets)
+        """
+        D = np.asarray(D)
+        if self.mode == "snow":
+            lam = 2.55 * Rr ** (-0.48)
+            return 3800.0 * Rr ** (-0.87) * np.exp(-lam * D)
+        if self.mode == "fog":
+            d_mode = 0.01  # 10 µm modal diameter
+            return 1.0e8 * Rr * (D / d_mode) ** 2 * np.exp(-3.0 * D / d_mode)
         lam = 4.1 * Rr ** (-0.21)
-        return 8000.0 * np.exp(-lam * np.asarray(D))
+        return 8000.0 * np.exp(-lam * D)
 
     def alpha(self, Rr):
         """Extinction coefficient [1/m]: ∫ Qext(D)·(π/4)D²·N(D) dD, D in mm

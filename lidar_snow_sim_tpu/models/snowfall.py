@@ -36,7 +36,7 @@ from lidar_snow_sim_tpu.ops.fitting import (
     polyval2,
     ransac_plane,
 )
-from lidar_snow_sim_tpu.ops.geometry import beam_limits, candidate_intervals, wrap_02pi
+from lidar_snow_sim_tpu.ops.geometry import beam_limits, candidate_intervals
 from lidar_snow_sim_tpu.ops.laser import estimate_laser_parameters
 from lidar_snow_sim_tpu.ops.sweep import occlusion_sweep
 from lidar_snow_sim_tpu.ops.waveform import waveform_peak, xsi
@@ -50,9 +50,10 @@ class SnowfallResult(NamedTuple):
     num_attenuated: jax.Array  # i32
     num_removed: jax.Array     # i32
     avg_intensity_diff: jax.Array  # i32 (trunc toward zero, reference int())
-    window_overflow: jax.Array     # i32: candidates beyond window capacity
+    window_overflow: jax.Array     # i32: candidates beyond window/slice capacity
     occluder_overflow: jax.Array   # i32: intersecting beyond max_occluders
     bump_overflow: jax.Array       # i32: nonzero-ratio beyond max_bumps
+    channel_overflow: jax.Array    # i32: points beyond channel_capacity (dense)
 
 
 def _batched_searchsorted(sorted_rows, rows, targets, length: int):
@@ -202,8 +203,15 @@ def snowfall_augment(
       cfg:    static SnowfallConfig
 
     Returns SnowfallResult with full-capacity arrays (compact on host with
-    utils.compact_cloud using result.keep).
+    utils.compact_cloud using result.keep). cfg.assembly selects the
+    candidate-assembly strategy: "window" (per-point gathered windows; output
+    in channel-sorted order) or "dense" (per-block shared bank slices, no
+    big gathers — see snowfall_augment_dense; output in original order).
     """
+    if cfg.assembly == "dense":
+        return snowfall_augment_dense(
+            points, mask, bank, calib_arrays, order, key, cfg, plane=plane
+        )
     n = points.shape[0]
     assert n % cfg.point_chunk == 0, "max_points must be divisible by point_chunk"
 
@@ -244,7 +252,8 @@ def snowfall_augment(
     fo = fo_lut[channel]
     max_int = max_int_lut[channel]
 
-    center = wrap_02pi(jnp.arctan2(xyz[:, 1], xyz[:, 0]))
+    # signed azimuth, matching the bank's sort convention (banks.py)
+    center = jnp.arctan2(xyz[:, 1], xyz[:, 0])
     delta = cfg.beam_divergence_rad / 2 + cfg.wide_threshold
     k_ext = bank.angle.shape[1]
     lo = _batched_searchsorted(bank.angle, bank_row, center - delta, k_ext)
@@ -316,6 +325,187 @@ def snowfall_augment(
         window_overflow=jnp.sum(win_of).astype(jnp.int32),
         occluder_overflow=jnp.sum(occ_of).astype(jnp.int32),
         bump_overflow=jnp.sum(bump_of).astype(jnp.int32),
+        channel_overflow=jnp.int32(0),
+    )
+
+
+def _plane_and_noise(xyz, intensity, mask, dist, key, cfg, plane):
+    """Shared preamble: ground plane -> incident angles -> adaptive noise
+    polynomial evaluated at every point's range (simulation.py:449-469)."""
+    if plane is None:
+        w, h = ransac_plane(xyz, mask, key, trials=cfg.ransac_trials)
+    else:
+        w, h = plane
+    hog = xyz @ w + h
+    ground = mask & (hog < cfg.ground_delta) & (hog > -cfg.ground_delta)
+    incident = jnp.arccos(
+        jnp.clip((xyz @ w) / (jnp.maximum(dist, 1e-12) * jnp.linalg.norm(w)), -1, 1)
+    )
+    _, threshold = estimate_laser_parameters(
+        xyz, intensity, incident, ground, noise_floor=cfg.noise_floor
+    )
+    threshold = threshold * jnp.cos(incident)
+    noise_poly = masked_polyfit2(dist, threshold, ground)
+    return polyval2(noise_poly, dist)
+
+
+def snowfall_augment_dense(
+    points,
+    mask,
+    bank,
+    calib_arrays,
+    order,
+    key,
+    cfg: SnowfallConfig,
+    plane=None,
+):
+    """Dense-slice snowfall augmentation — the TPU fast path.
+
+    The window path's per-point candidate gather (bank.data[row, widx] for
+    every beam) is the measured hot spot on TPU (XLA gathers don't tile).
+    Here points are laid out (channel, azimuth)-sorted into fixed
+    (num_channels, channel_capacity) slots; each block of
+    cfg.block_points consecutive beams shares ONE contiguous slice of
+    cfg.slice_width angle-sorted bank entries, fetched with a single dynamic
+    slice, and every beam in the block is tested densely against the whole
+    slice (the intersection predicate is exact, so testing a superset changes
+    nothing). Results are scattered back to the ORIGINAL point order — unlike
+    the window path, which returns channel-sorted points.
+
+    Coverage is checked, not assumed: if a block's beams need bank entries
+    beyond its slice, the deficit is counted in window_overflow; points
+    beyond channel_capacity count in channel_overflow. The host wrapper
+    raises on either.
+    """
+    n = points.shape[0]
+    n_ch = order.shape[0]
+    pch = cfg.channel_capacity
+    blk = cfg.block_points
+    w_sl = cfg.slice_width
+    grp = cfg.chunk_group
+    assert pch % blk == 0, "channel_capacity must be divisible by block_points"
+    blocks_per_ch = pch // blk
+    n_chunks = n_ch * blocks_per_ch
+    assert n_chunks % grp == 0, "chunk count must be divisible by chunk_group"
+
+    min_int_lut, _, fs_lut, fo_lut, max_int_lut = calib_arrays
+
+    xyz = points[:, :3]
+    intensity = points[:, 3]
+    channel = jnp.clip(points[:, 4].astype(jnp.int32), 0, n_ch - 1)
+    dist = jnp.linalg.norm(xyz, axis=-1)
+    noise_at = _plane_and_noise(xyz, intensity, mask, dist, key, cfg, plane)
+
+    # --- (channel, azimuth)-sorted slot layout; signed azimuth to match the
+    # bank's sort convention (banks.py) and keep FOV scans contiguous ---
+    az = jnp.arctan2(xyz[:, 1], xyz[:, 0])
+    sort_key = jnp.where(mask, channel.astype(jnp.float32) * 8.0 + az, 1e9)
+    perm = jnp.argsort(sort_key, stable=True)
+    sorted_key = sort_key[perm]
+    bounds = jnp.searchsorted(
+        sorted_key, 8.0 * jnp.arange(n_ch + 1, dtype=jnp.float32) - 4.0
+    )
+    start = bounds[:-1]
+    count = bounds[1:] - bounds[:-1]
+    channel_overflow = jnp.sum(jnp.maximum(count - pch, 0))
+
+    src_rank = start[:, None] + jnp.arange(pch)[None, :]       # (C, pch)
+    slot_valid = jnp.arange(pch)[None, :] < jnp.minimum(count, pch)[:, None]
+    slot_orig = perm[jnp.clip(src_rank, 0, n - 1)]             # (C, pch)
+
+    s_xyz = xyz[slot_orig]
+    s_int = intensity[slot_orig]
+    s_az = jnp.where(slot_valid, az[slot_orig], jnp.nan)
+
+    # --- per-chunk shared slice bounds ---
+    ch_of_chunk = jnp.repeat(jnp.arange(n_ch), blocks_per_ch)  # (n_chunks,)
+    row_of_chunk = order[ch_of_chunk]
+    az_blk = s_az.reshape(n_chunks, blk)
+    valid_blk = slot_valid.reshape(n_chunks, blk)
+    min_az = jnp.min(jnp.where(valid_blk, az_blk, jnp.inf), axis=1)
+    max_az = jnp.max(jnp.where(valid_blk, az_blk, -jnp.inf), axis=1)
+    delta = cfg.beam_divergence_rad / 2 + cfg.wide_threshold
+    k_ext = bank.angle.shape[1]
+    lo = _batched_searchsorted(bank.angle, row_of_chunk, min_az - delta, k_ext)
+    hi_req = _batched_searchsorted(bank.angle, row_of_chunk, max_az + delta, k_ext)
+    lo = jnp.clip(lo, 0, max(k_ext - w_sl, 0))
+    cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_sl), 0))
+
+    range_grid = jnp.asarray(cfg.range_grid())
+    xyz_blk = s_xyz.reshape(n_chunks, blk, 3)
+    int_blk = s_int.reshape(n_chunks, blk)
+    mi_c = min_int_lut[ch_of_chunk]
+    fs_c = fs_lut[ch_of_chunk]
+    fo_c = fo_lut[ch_of_chunk]
+    mx_c = max_int_lut[ch_of_chunk]
+
+    def one_chunk(args):
+        (xyz_b, int_b, valid_b, row, lo_b, mi, fs, fo, mx) = args
+        sl = jax.lax.dynamic_slice(
+            bank.data, (row, lo_b, jnp.int32(0)), (1, w_sl, 4)
+        )[0]
+        wide = bank.wide[row]                                  # (Wc, 4)
+        cand = jnp.concatenate([sl, wide], axis=0)             # (C, 4)
+        cand_b = jnp.broadcast_to(cand[None], (blk,) + cand.shape)
+        b1 = jnp.broadcast_to
+        return _per_point_kernel(
+            xyz_b, int_b, valid_b,
+            b1(row, (blk,)),
+            cand_b,
+            jnp.zeros((blk,), jnp.int32),
+            b1(mi, (blk,)), b1(mx, (blk,)), b1(fs, (blk,)), b1(fo, (blk,)),
+            range_grid, cfg,
+        )
+
+    def group_fn(args):
+        return jax.vmap(one_chunk)(args)
+
+    g = lambda a: a.reshape((n_chunks // grp, grp) + a.shape[1:])
+    outs = jax.lax.map(
+        group_fn,
+        (
+            g(xyz_blk), g(int_blk), g(valid_blk), g(row_of_chunk), g(lo),
+            g(mi_c), g(fs_c), g(fo_c), g(mx_c),
+        ),
+    )
+    (nx, ni, lab, diff_c, occ_of, bump_of, _zero_win) = outs
+    n2 = n_chunks * blk
+    nx = nx.reshape(n2, 3)
+    ni = ni.reshape(n2)
+    lab = lab.reshape(n2)
+
+    # --- scatter back to original order (padding slots dropped OOB) ---
+    valid_flat = slot_valid.reshape(n2)
+    tgt = jnp.where(valid_flat, slot_orig.reshape(n2), n)
+    new_xyz = xyz.at[tgt].set(nx, mode="drop")
+    new_int = intensity.at[tgt].set(ni, mode="drop")
+    label = jnp.zeros(n, points.dtype).at[tgt].set(lab, mode="drop")
+
+    new_int = jnp.round(new_int)
+    keep = mask & ((label == 2) | (new_int > noise_at))
+    num_removed = jnp.sum(mask & ~keep).astype(jnp.int32)
+    num_attenuated = jnp.sum(keep & (label == 1)).astype(jnp.int32)
+
+    diff_sum = jnp.sum(diff_c)
+    avg_diff = jnp.where(
+        num_attenuated > 0,
+        (diff_sum / jnp.maximum(num_attenuated, 1)).astype(jnp.int32),
+        0,
+    )
+
+    out_points = jnp.concatenate(
+        [new_xyz, new_int[:, None], label[:, None]], axis=1
+    )
+    return SnowfallResult(
+        points=out_points,
+        keep=keep,
+        num_attenuated=num_attenuated,
+        num_removed=num_removed,
+        avg_intensity_diff=avg_diff,
+        window_overflow=cover_overflow.astype(jnp.int32),
+        occluder_overflow=jnp.sum(occ_of).astype(jnp.int32),
+        bump_overflow=jnp.sum(bump_of).astype(jnp.int32),
+        channel_overflow=channel_overflow.astype(jnp.int32),
     )
 
 
@@ -368,7 +558,12 @@ class SnowfallAugmenter:
             self.cfg,
         )
         res = jax.device_get(res)
-        for name in ("window_overflow", "occluder_overflow", "bump_overflow"):
+        for name in (
+            "window_overflow",
+            "occluder_overflow",
+            "bump_overflow",
+            "channel_overflow",
+        ):
             v = int(getattr(res, name))
             if v:
                 raise RuntimeError(

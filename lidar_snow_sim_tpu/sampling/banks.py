@@ -80,8 +80,11 @@ def build_bank(
         dist = np.hypot(x, y)
         halfwidth = np.arcsin(np.clip(r / np.maximum(dist, 1e-12), 0.0, 1.0))
         is_wide = halfwidth > wide_threshold
+        # SIGNED azimuth (-pi, pi]: forward-FOV scans (the datagen workload,
+        # precompute.py:96-99) are then contiguous in sort order instead of
+        # wrapping at 0, which keeps dense-assembly block spans tight. The
+        # +-2pi pad entries cover window lookups across the +-pi seam.
         ang = np.arctan2(y, x)
-        ang = np.where(ang < 0, ang + TWO_PI, ang)
         nr = np.column_stack([x, y, r, dist, ang])[~is_wide]
         nr = nr[np.argsort(nr[:, 4], kind="stable")]
         narrow_rows.append(nr)

@@ -1,0 +1,107 @@
+"""Dense-slice assembly must reproduce the window assembly bit-for-bit.
+
+The dense path (snowfall_augment_dense) tests each beam against a superset of
+the window path's candidates with the same exact intersection predicate, so
+with zero overflows the outputs are identical. The test's input is pre-sorted
+by channel (stable) so the window path's channel-sorted output rows align with
+the dense path's original-order output rows.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidar_snow_sim_tpu.calib import load_hdl64_calib
+from lidar_snow_sim_tpu.config import SnowfallConfig
+from lidar_snow_sim_tpu.models.snowfall import (
+    calib_device_arrays,
+    snowfall_augment,
+)
+from lidar_snow_sim_tpu.sampling.banks import build_bank
+from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
+from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+_W = np.array([0.005, -0.003, -1.0])
+PLANE = (_W / np.linalg.norm(_W), -1.55)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    calib = load_hdl64_calib()
+    pc = synthetic_scan(n_azimuth=100, seed=2, calib=calib)
+    pc = pc[np.argsort(pc[:, 4], kind="stable")]
+    rng = np.random.default_rng(5)
+    sets = []
+    for _ in range(64):
+        ang = rng.uniform(0, 2 * np.pi, 300)
+        d = np.sqrt(rng.uniform(0.01, 1, 300)) * 60
+        r = rng.uniform(0.005, 0.05, 300)
+        sets.append(np.column_stack([d * np.cos(ang), d * np.sin(ang), r]))
+    bank = build_bank(sets, window_size=256, wide_capacity=64)
+    order = np.random.default_rng(3).permutation(64)
+    return calib, pc, bank, order
+
+
+def _run(setup, cfg):
+    calib, pc, bank, order = setup
+    padded = pad_cloud(pc, cfg.max_points)
+    res = jax.jit(snowfall_augment, static_argnames=("cfg",))(
+        jnp.asarray(padded.points),
+        jnp.asarray(padded.mask),
+        jax.device_put(bank),
+        calib_device_arrays(calib),
+        jnp.asarray(order, jnp.int32),
+        jax.random.PRNGKey(0),
+        cfg,
+        plane=(jnp.asarray(PLANE[0], jnp.float32), jnp.float32(PLANE[1])),
+    )
+    return jax.device_get(res)
+
+
+def test_dense_matches_window(setup):
+    base = dict(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, point_chunk=256,
+    )
+    rw = _run(setup, SnowfallConfig(**base, assembly="window"))
+    rd = _run(
+        setup,
+        SnowfallConfig(
+            **base, assembly="dense", channel_capacity=128,
+            block_points=32, slice_width=256, chunk_group=8,
+        ),
+    )
+    for r in (rw, rd):
+        assert r.window_overflow == 0
+        assert r.occluder_overflow == 0
+        assert r.bump_overflow == 0
+        assert r.channel_overflow == 0
+    n = len(setup[1])
+    np.testing.assert_array_equal(rw.points[:n], rd.points[:n])
+    np.testing.assert_array_equal(rw.keep[:n], rd.keep[:n])
+    assert int(rw.num_attenuated) == int(rd.num_attenuated)
+    assert int(rw.num_removed) == int(rd.num_removed)
+    assert int(rw.avg_intensity_diff) == int(rd.avg_intensity_diff)
+
+
+def test_dense_channel_overflow_detected(setup):
+    """channel_capacity smaller than the densest channel must be counted."""
+    cfg = SnowfallConfig(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, assembly="dense",
+        channel_capacity=32, block_points=32, slice_width=256, chunk_group=8,
+    )
+    res = _run(setup, cfg)
+    assert int(res.channel_overflow) > 0
+
+
+def test_dense_slice_overflow_detected(setup):
+    """A slice too narrow to cover its block's windows must be counted."""
+    cfg = SnowfallConfig(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, assembly="dense",
+        channel_capacity=128, block_points=128, slice_width=8, chunk_group=8,
+    )
+    res = _run(setup, cfg)
+    assert int(res.window_overflow) > 0
