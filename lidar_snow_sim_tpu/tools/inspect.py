@@ -45,6 +45,8 @@ def main(argv=None):
     ap.add_argument("--bev", default=None, help="write a BEV PNG here")
     ap.add_argument("--bev-color", default="label",
                     choices=("depth", "intensity", "label"))
+    ap.add_argument("--labels", default=None,
+                    help="KITTI-format GT/prediction label file to overlay")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -155,6 +157,24 @@ def main(argv=None):
         report["labels"] = augmentation_stat_labels(pc, n_before)
     report["log"] = cloud_log_string(pc)
 
+    boxes = []
+    if args.labels:
+        from lidar_snow_sim_tpu.utils.boxes import (
+            points_in_boxes,
+            read_label_file,
+        )
+
+        boxes = read_label_file(args.labels)
+        in_box = points_in_boxes(pc, boxes)
+        report["boxes"] = [
+            {
+                "identity": b.identity,
+                "distance": round(b.distance, 2),
+                "points_inside": int((in_box == i).sum()),
+            }
+            for i, b in enumerate(boxes)
+        ]
+
     if args.bev:
         import matplotlib
 
@@ -164,6 +184,10 @@ def main(argv=None):
         from lidar_snow_sim_tpu.utils.render import bev_image
 
         img = bev_image(pc, color=args.bev_color)
+        if boxes:
+            from lidar_snow_sim_tpu.utils.boxes import draw_boxes_bev
+
+            draw_boxes_bev(img, boxes)
         plt.imsave(args.bev, img)
         report["bev"] = str(Path(args.bev).resolve())
 
