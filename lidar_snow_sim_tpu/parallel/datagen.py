@@ -52,6 +52,7 @@ def run_snowfall_datagen(
     shuffle_channels: bool = True,
     fov_filter=None,
     overwrite: bool = False,
+    mesh=None,
 ) -> DatagenStats:
     """Augment every sample id and write `{out_dir}/{id}.bin`.
 
@@ -59,6 +60,11 @@ def run_snowfall_datagen(
     utils.load_velodyne_bin of the STF lidar folder). Existing outputs are
     skipped (resume semantics, precompute.py:91-92). Oversized scans are
     FOV/row-truncated to capacity with a warning (tracked in stats).
+
+    With a `mesh` (parallel.mesh.make_mesh), the batch is sharded
+    frames-over-'data' and points-over-'beam' via the GSPMD step
+    (parallel.batched.make_sharded_step); batch must be a multiple of the
+    mesh's data axis.
     """
     import jax
     import jax.numpy as jnp
@@ -78,13 +84,26 @@ def run_snowfall_datagen(
     bank_dev = jax.device_put(bank)
     rng = np.random.default_rng(seed)
 
-    step = jax.jit(
-        jax.vmap(
-            lambda p, m, o, k: snowfall_augment(
-                p, m, bank_dev, calib_arrays, o, k, snow_cfg
+    if mesh is not None:
+        from lidar_snow_sim_tpu.parallel.batched import make_sharded_step
+
+        if batch % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh data axis "
+                f"{mesh.shape['data']}"
+            )
+        sharded = make_sharded_step(mesh, snow_cfg, wet_cfg=None)
+        step = lambda p, m, o, k: sharded(
+            p, m, bank_dev, calib_arrays, o, k
+        )[0]
+    else:
+        step = jax.jit(
+            jax.vmap(
+                lambda p, m, o, k: snowfall_augment(
+                    p, m, bank_dev, calib_arrays, o, k, snow_cfg
+                )
             )
         )
-    )
 
     todo = []
     for sid in sample_ids:

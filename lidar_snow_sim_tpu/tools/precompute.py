@@ -71,6 +71,8 @@ def main(argv=None):
                     help="KITTI-format calib txt (default: built-in DENSE rig)")
     ap.add_argument("--shard", default="0/1",
                     help="i/n: process every n-th frame starting at i")
+    ap.add_argument("--mesh", default=None,
+                    help="DATAxBEAM device mesh, e.g. 4x2 (default: no mesh)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--overwrite", action="store_true")
     args = ap.parse_args(argv)
@@ -106,6 +108,13 @@ def main(argv=None):
         wide_capacity=128, max_occluders=64, max_bumps=32, point_chunk=2048,
     )
 
+    mesh = None
+    if args.mesh:
+        from lidar_snow_sim_tpu.parallel.mesh import make_mesh
+
+        d, b = (int(v) for v in args.mesh.split("x"))
+        mesh = make_mesh(data=d, beam=b)
+
     def load_fn(sid):
         return load_velodyne_bin(lidar_dir / f"{sid}.bin")
 
@@ -130,7 +139,7 @@ def main(argv=None):
             stats = run_snowfall_datagen(
                 ids, load_fn, out_dir, bank, calib, cfg,
                 batch=args.batch, seed=args.seed, fov_filter=fov,
-                overwrite=args.overwrite,
+                overwrite=args.overwrite, mesh=mesh,
             )
             all_stats[f"{mode}_rainrate_{int(rr)}"] = stats.as_dict()
             print(f"{mode} rr={rr:.2f}: {json.dumps(stats.as_dict())}",

@@ -1,0 +1,104 @@
+"""Parallel-layer tests on the virtual 8-device CPU mesh (SURVEY.md §4d).
+
+Covers: mesh construction, the sharded snow+wet step, and mesh-sharded
+datagen producing byte-identical outputs to the unsharded path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lidar_snow_sim_tpu.config import SnowfallConfig, WetGroundConfig
+from lidar_snow_sim_tpu.parallel.datagen import (
+    iter_reference_grid,
+    run_snowfall_datagen,
+)
+from lidar_snow_sim_tpu.parallel.mesh import make_mesh
+from lidar_snow_sim_tpu.sampling.banks import build_bank
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return SnowfallConfig(
+        max_points=4096, window_size=128, wide_capacity=32,
+        max_occluders=16, max_bumps=8, point_chunk=512, ransac_trials=16,
+    )
+
+
+@pytest.fixture(scope="module")
+def bank(small_particle_sets, small_cfg):
+    return build_bank(
+        small_particle_sets,
+        window_size=small_cfg.window_size,
+        wide_threshold=small_cfg.wide_threshold,
+        wide_capacity=small_cfg.wide_capacity,
+    )
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=4, beam=2)
+    assert mesh.shape == {"data": 4, "beam": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=16, beam=2)
+
+
+def test_iter_reference_grid():
+    combos = list(iter_reference_grid())
+    assert len(combos) == 10  # 2 modes x 5 (rate, velocity) pairs
+    modes = {m for m, _, _ in combos}
+    assert modes == {"gunn", "sekhon"}
+    for _, rr, occ in combos:
+        assert rr > 0 and 0 < occ < 1
+
+
+def test_mesh_datagen_matches_unsharded(tmp_path, calib, bank, small_cfg):
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    scans = {
+        f"f{i}": synthetic_scan(n_azimuth=60, seed=i, calib=calib)[:4096]
+        for i in range(4)
+    }
+    ids = sorted(scans)
+
+    def load_fn(sid):
+        return scans[sid]
+
+    plain_dir = tmp_path / "plain"
+    mesh_dir = tmp_path / "mesh"
+    kwargs = dict(
+        batch=4, seed=0, shuffle_channels=False, overwrite=False,
+    )
+    s1 = run_snowfall_datagen(
+        ids, load_fn, plain_dir, bank, calib, small_cfg, **kwargs
+    )
+    mesh = make_mesh(data=4, beam=2)
+    s2 = run_snowfall_datagen(
+        ids, load_fn, mesh_dir, bank, calib, small_cfg, mesh=mesh, **kwargs
+    )
+    assert s1.frames_done == s2.frames_done == 4
+    assert s1.attenuated == s2.attenuated
+    for sid in ids:
+        a = (plain_dir / f"{sid}.bin").read_bytes()
+        b = (mesh_dir / f"{sid}.bin").read_bytes()
+        assert a == b, f"{sid}: sharded output differs"
+
+    # resume: second run skips everything
+    s3 = run_snowfall_datagen(
+        ids, load_fn, mesh_dir, bank, calib, small_cfg, mesh=mesh, **kwargs
+    )
+    assert s3.frames_skipped == 4 and s3.frames_done == 0
+
+
+def test_mesh_datagen_batch_mismatch(tmp_path, calib, bank, small_cfg):
+    mesh = make_mesh(data=4, beam=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        run_snowfall_datagen(
+            ["a"], lambda s: np.zeros((10, 5), np.float32), tmp_path,
+            bank, calib, small_cfg, batch=3, mesh=mesh,
+        )
