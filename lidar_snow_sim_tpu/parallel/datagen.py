@@ -113,15 +113,17 @@ def run_snowfall_datagen(
             continue
         todo.append((sid, out_path))
 
-    for i in range(0, len(todo), batch):
-        chunk = todo[i : i + batch]
+    def _load_batch(chunk):
+        """Load + FOV-filter + pad one batch (runs on the IO thread so the
+        next batch's disk reads overlap the device step)."""
         pts_list, mask_list, ids = [], [], []
+        n_failed = 0
         for sid, out_path in chunk:
             try:
                 pc = load_fn(sid)
             except Exception as e:  # noqa: BLE001 - per-frame fault tolerance
                 logger.warning("failed to load %s: %s", sid, e)
-                stats.frames_failed += 1
+                n_failed += 1
                 continue
             if fov_filter is not None:
                 pc = pc[fov_filter(pc[:, :3])]
@@ -135,6 +137,19 @@ def run_snowfall_datagen(
             pts_list.append(padded.points)
             mask_list.append(padded.mask)
             ids.append((sid, out_path, len(pc)))
+        return pts_list, mask_list, ids, n_failed
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    io_pool = ThreadPoolExecutor(max_workers=1)
+    batches = [todo[i : i + batch] for i in range(0, len(todo), batch)]
+    next_fut = io_pool.submit(_load_batch, batches[0]) if batches else None
+
+    for bi in range(len(batches)):
+        pts_list, mask_list, ids, n_failed = next_fut.result()
+        stats.frames_failed += n_failed
+        if bi + 1 < len(batches):  # prefetch next while the device computes
+            next_fut = io_pool.submit(_load_batch, batches[bi + 1])
         if not pts_list:
             continue
         # pad the batch to full width so one compiled step serves every batch
@@ -169,6 +184,7 @@ def run_snowfall_datagen(
             stats.attenuated += int(res.num_attenuated[j])
             stats.removed += int(res.num_removed[j])
 
+    io_pool.shutdown(wait=False)
     stats.wall_s = time.time() - t_start
     return stats
 
