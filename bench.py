@@ -82,7 +82,7 @@ def main():
         assembly=os.environ.get("BENCH_ASSEMBLY", "dense"),
         channel_capacity=1024,
         block_points=128,
-        slice_width=768,
+        slice_width=1024,
         chunk_group=8,
     )
     bank = jax.device_put(
@@ -129,8 +129,11 @@ def main():
     points_per_sec = scans_per_sec * len(pc)
 
     # sanity: capacities honored
-    overflow = int(np.asarray(out.window_overflow).sum()) + int(
-        np.asarray(out.occluder_overflow).sum()
+    overflow = (
+        int(np.asarray(out.window_overflow).sum())
+        + int(np.asarray(out.occluder_overflow).sum())
+        + int(np.asarray(out.bump_overflow).sum())
+        + int(np.asarray(out.channel_overflow).sum())
     )
 
     # CPU oracle baseline (literal reference semantics), subsampled + scaled

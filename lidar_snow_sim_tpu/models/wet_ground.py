@@ -120,6 +120,15 @@ def wet_ground_augment(
     )
 
 
+def filter_below_ground(pointcloud, w, h, margin: float = 0.5):
+    """Drop points more than `margin` above the plane's negated offset —
+    the reference's pre-filter (`tools/wet_ground/augmentation.py:164-168`):
+    keeps rows with w·p + h < margin."""
+    pc = np.asarray(pointcloud)
+    above = pc[:, :3] @ np.asarray(w) + h < margin
+    return pc[above]
+
+
 @dataclasses.dataclass
 class WetGroundAugmenter:
     """Host wrapper matching the reference's

@@ -91,6 +91,33 @@ def ransac_plane(
     return w, h
 
 
+def ransac_polyfit(
+    x, y, order=3, n=15, k=100, t=0.1, d=15, f=0.8, rng=None
+):
+    """Literal RANSAC polynomial fit (`tools/wet_ground/augmentation.py:171-193`).
+
+    Starts from the full-data polyfit; each trial fits `n` random samples,
+    accepts if > d inliers AND > f fraction inliers, and keeps the inlier
+    refit with the lowest absolute error. rng injects determinism (the
+    reference uses the global np.random state).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rng = rng or np.random.default_rng()
+    bestfit = np.polyfit(x, y, order)
+    besterr = np.sum(np.abs(np.polyval(bestfit, x) - y))
+    for _ in range(k):
+        maybe = rng.integers(len(x), size=n)
+        model = np.polyfit(x[maybe], y[maybe], order)
+        inl = np.abs(np.polyval(model, x) - y) < t
+        if inl.sum() > d and inl.sum() > len(x) * f:
+            better = np.polyfit(x[inl], y[inl], order)
+            err = np.sum(np.abs(np.polyval(better, x[inl]) - y[inl]))
+            if err < besterr:
+                bestfit, besterr = better, err
+    return bestfit
+
+
 def noise_floor_bins(
     distance: np.ndarray,
     normalized_intensities: np.ndarray,

@@ -54,6 +54,27 @@ def read_road_wetness(path: str | Path):
         return None
 
 
+def temporal_neighbors(
+    sample_id: str, offsets=range(-6, 5), sep: str = ","
+) -> list[str]:
+    """Neighboring frame IDs of an STF sample (`date,frame` convention).
+
+    The viewer navigates past/future sweeps in the -6..+4 range
+    (`pointcloud_viewer.py` temporal frames; SURVEY.md §2.1). Frame numbers
+    are zero-padded to the input's width; negative frames are skipped.
+    """
+    date, frame = sample_id.split(sep)
+    width = len(frame)
+    base = int(frame)
+    out = []
+    for off in offsets:
+        f = base + off
+        if f < 0:
+            continue
+        out.append(f"{date}{sep}{f:0{width}d}")
+    return out
+
+
 def select_frames(
     meta_dir: str | Path,
     frame_ids: list[str],
