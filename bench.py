@@ -144,16 +144,20 @@ def main():
     )
     sub = pc[np.sort(sub_idx)]
     order0 = np.asarray(orders[0])
-    t0 = time.time()
-    augment_oracle(
-        sub.astype(np.float64),
-        sets,
-        calib,
-        order0,
-        float(np.degrees(3e-3)),
-        plane=(np.array([0.0, 0.0, -1.0]), -1.55),
-    )
-    t_oracle = time.time() - t0
+    # best of 2 trials: the oracle is a host-CPU loop, so a single timing is
+    # vulnerable to transient load; min is the honest per-scan cost
+    t_oracle = np.inf
+    for _ in range(2):
+        t0 = time.time()
+        augment_oracle(
+            sub.astype(np.float64),
+            sets,
+            calib,
+            order0,
+            float(np.degrees(3e-3)),
+            plane=(np.array([0.0, 0.0, -1.0]), -1.55),
+        )
+        t_oracle = min(t_oracle, time.time() - t0)
     oracle_scans_per_sec = 1.0 / (t_oracle * len(pc) / len(sub))
 
     result = {

@@ -53,6 +53,7 @@ def run_snowfall_datagen(
     fov_filter=None,
     overwrite: bool = False,
     mesh=None,
+    wet_cfg=None,
 ) -> DatagenStats:
     """Augment every sample id and write `{out_dir}/{id}.bin`.
 
@@ -64,14 +65,18 @@ def run_snowfall_datagen(
     With a `mesh` (parallel.mesh.make_mesh), the batch is sharded
     frames-over-'data' and points-over-'beam' via the GSPMD step
     (parallel.batched.make_sharded_step); batch must be a multiple of the
-    mesh's data axis.
+    mesh's data axis. With a `wet_cfg` (WetGroundConfig), wet-ground
+    reflectance is chained after snowfall on device (the viewer's snow+wet
+    mode, pointcloud_viewer.py:2804-2840).
+
+    A `_manifest.json` with the run stats is written next to the outputs.
     """
     import jax
-    import jax.numpy as jnp
 
-    from lidar_snow_sim_tpu.models.snowfall import (
-        calib_device_arrays,
-        snowfall_augment,
+    from lidar_snow_sim_tpu.models.snowfall import calib_device_arrays
+    from lidar_snow_sim_tpu.parallel.batched import (
+        batched_step,
+        make_sharded_step,
     )
     from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
 
@@ -85,25 +90,26 @@ def run_snowfall_datagen(
     rng = np.random.default_rng(seed)
 
     if mesh is not None:
-        from lidar_snow_sim_tpu.parallel.batched import make_sharded_step
-
         if batch % mesh.shape["data"] != 0:
             raise ValueError(
                 f"batch {batch} not divisible by mesh data axis "
                 f"{mesh.shape['data']}"
             )
-        sharded = make_sharded_step(mesh, snow_cfg, wet_cfg=None)
-        step = lambda p, m, o, k: sharded(
-            p, m, bank_dev, calib_arrays, o, k
-        )[0]
+        sharded = make_sharded_step(mesh, snow_cfg, wet_cfg=wet_cfg)
+        step = lambda p, m, o, k: sharded(p, m, bank_dev, calib_arrays, o, k)
     else:
+        import functools
+
         step = jax.jit(
-            jax.vmap(
-                lambda p, m, o, k: snowfall_augment(
-                    p, m, bank_dev, calib_arrays, o, k, snow_cfg
-                )
+            functools.partial(
+                batched_step, snow_cfg=snow_cfg, wet_cfg=wet_cfg
             )
         )
+        step = functools.partial(
+            step, bank=bank_dev, calib_arrays=calib_arrays
+        )
+        _jit = step
+        step = lambda p, m, o, k: _jit(p, m, orders=o, keys=k)
 
     todo = []
     for sid in sample_ids:
@@ -167,25 +173,44 @@ def run_snowfall_datagen(
         ).astype(np.int32)
         keys = jax.random.split(jax.random.PRNGKey(rng.integers(2**31)), batch)
 
-        res = jax.device_get(
+        snow, wet = jax.device_get(
             step(
-                jnp.asarray(np.stack(pts_list)),
-                jnp.asarray(np.stack(mask_list)),
-                jnp.asarray(orders),
+                np.stack(pts_list),
+                np.stack(mask_list),
+                np.asarray(orders),
                 keys,
             )
         )
+        res = wet if wet is not None else snow
         for j, (sid, out_path, n_in) in enumerate(ids):
             aug = res.points[j][res.keep[j]]
             aug.astype(np.float32).tofile(out_path)
             stats.frames_done += 1
             stats.points_in += n_in
             stats.points_out += len(aug)
-            stats.attenuated += int(res.num_attenuated[j])
-            stats.removed += int(res.num_removed[j])
+            stats.attenuated += int(snow.num_attenuated[j])
+            stats.removed += int(snow.num_removed[j])
 
     io_pool.shutdown(wait=False)
     stats.wall_s = time.time() - t_start
+    try:
+        import json
+
+        (out_dir / "_manifest.json").write_text(
+            json.dumps(
+                {
+                    "stats": stats.as_dict(),
+                    "frames": len(sample_ids),
+                    "batch": batch,
+                    "seed": seed,
+                    "wet_ground": wet_cfg is not None,
+                    "mesh": dict(mesh.shape) if mesh is not None else None,
+                },
+                indent=2,
+            )
+        )
+    except OSError as e:
+        logger.warning("could not write manifest: %s", e)
     return stats
 
 

@@ -26,7 +26,7 @@ from pathlib import Path
 
 import numpy as np
 
-from lidar_snow_sim_tpu.config import SnowfallConfig
+from lidar_snow_sim_tpu.config import SnowfallConfig, WetGroundConfig
 
 SNOWFALL_RATES = (0.5, 1.0, 2.0, 2.5, 1.5)       # mm/h (precompute.py:20)
 TERMINAL_VELOCITIES = (2.0, 1.6, 2.0, 1.6, 0.6)  # m/s  (precompute.py:21)
@@ -73,6 +73,9 @@ def main(argv=None):
                     help="i/n: process every n-th frame starting at i")
     ap.add_argument("--mesh", default=None,
                     help="DATAxBEAM device mesh, e.g. 4x2 (default: no mesh)")
+    ap.add_argument("--wet", action="store_true",
+                    help="chain wet-ground reflectance after snowfall "
+                         "(the viewer's snow+wet mode)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--overwrite", action="store_true")
     args = ap.parse_args(argv)
@@ -108,6 +111,7 @@ def main(argv=None):
         wide_capacity=128, max_occluders=64, max_bumps=32, point_chunk=2048,
     )
 
+    wet_cfg = WetGroundConfig(replace=False) if args.wet else None
     mesh = None
     if args.mesh:
         from lidar_snow_sim_tpu.parallel.mesh import make_mesh
@@ -139,7 +143,7 @@ def main(argv=None):
             stats = run_snowfall_datagen(
                 ids, load_fn, out_dir, bank, calib, cfg,
                 batch=args.batch, seed=args.seed, fov_filter=fov,
-                overwrite=args.overwrite, mesh=mesh,
+                overwrite=args.overwrite, mesh=mesh, wet_cfg=wet_cfg,
             )
             all_stats[f"{mode}_rainrate_{int(rr)}"] = stats.as_dict()
             print(f"{mode} rr={rr:.2f}: {json.dumps(stats.as_dict())}",

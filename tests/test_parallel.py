@@ -95,6 +95,28 @@ def test_mesh_datagen_matches_unsharded(tmp_path, calib, bank, small_cfg):
     assert s3.frames_skipped == 4 and s3.frames_done == 0
 
 
+def test_snow_wet_datagen(tmp_path, calib, bank, small_cfg):
+    """wet_cfg chains wet ground on device; outputs stay valid N x 5 with
+    a manifest recording the mode."""
+    import json
+
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    scans = {"f0": synthetic_scan(n_azimuth=60, seed=0, calib=calib)[:4096]}
+    wet = WetGroundConfig(replace=False, min_ground_points=50)
+    out = tmp_path / "wet"
+    s = run_snowfall_datagen(
+        ["f0"], lambda sid: scans[sid], out, bank, calib, small_cfg,
+        batch=1, seed=0, wet_cfg=wet,
+    )
+    assert s.frames_done == 1
+    aug = np.fromfile(out / "f0.bin", np.float32).reshape(-1, 5)
+    assert set(np.unique(aug[:, 4])) <= {0.0, 1.0, 2.0}
+    manifest = json.loads((out / "_manifest.json").read_text())
+    assert manifest["wet_ground"] is True
+    assert manifest["stats"]["frames_done"] == 1
+
+
 def test_mesh_datagen_batch_mismatch(tmp_path, calib, bank, small_cfg):
     mesh = make_mesh(data=4, beam=2)
     with pytest.raises(ValueError, match="not divisible"):
