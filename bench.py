@@ -134,6 +134,7 @@ def main():
         + int(np.asarray(out.occluder_overflow).sum())
         + int(np.asarray(out.bump_overflow).sum())
         + int(np.asarray(out.channel_overflow).sum())
+        + int(np.asarray(out.compact_overflow).sum())
     )
 
     # CPU oracle baseline (literal reference semantics), subsampled + scaled

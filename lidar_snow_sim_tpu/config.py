@@ -84,6 +84,12 @@ class SnowfallConfig:
     block_points: int = 128         # beams per shared slice (dense)
     slice_width: int = 768          # particles per shared slice (dense)
     chunk_group: int = 8            # blocks vmapped together (dense)
+    # sweep + pulse re-simulation run only on points with >= 1 occluder,
+    # compacted to this capacity (0 = auto: a quarter of the slot count;
+    # overflow is counted in compact_overflow and raised by the wrapper).
+    # Occluded fraction at the heaviest reference rate is ~20-30%.
+    compact_capacity: int = 0
+    pulse_chunk: int = 2048         # compacted points per pulse-phase step
 
     # plane fit / laser parameter estimation
     ransac_trials: int = 64

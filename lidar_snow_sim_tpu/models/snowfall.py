@@ -54,6 +54,7 @@ class SnowfallResult(NamedTuple):
     occluder_overflow: jax.Array   # i32: intersecting beyond max_occluders
     bump_overflow: jax.Array       # i32: nonzero-ratio beyond max_bumps
     channel_overflow: jax.Array    # i32: points beyond channel_capacity (dense)
+    compact_overflow: jax.Array    # i32: occluded points beyond compact_capacity
 
 
 def _batched_searchsorted(sorted_rows, rows, targets, length: int):
@@ -75,27 +76,18 @@ def _batched_searchsorted(sorted_rows, rows, targets, length: int):
     return lo
 
 
-def _per_point_kernel(
+def _occluder_phase(
     xyz,
-    intensity,
-    point_valid,
-    bank_row,
-    cand,            # (P, C, 4) gathered candidates: x, y, r, dist
-    n_window,        # (P,) exact angular-window population (overflow check)
-    min_int,
-    max_int,
-    focal_slope,
-    focal_offset,
-    range_grid,
+    cand,            # (P, C, 4) candidates: x, y, r, dist
     cfg: SnowfallConfig,
 ):
-    """Occlusion + pulse re-simulation for a chunk of P points."""
-    beam_rad = cfg.beam_divergence_rad
-    ipm = cfg.intervals_per_meter
-    c_tau = SPEED_OF_LIGHT * cfg.tau_h
+    """Intersection test + nearest-K occluder selection for P points.
 
+    Returns (occ_a1, occ_a2, occ_dist, occ_valid (P, K)), occ_overflow (P,).
+    Occluders are sorted by ascending range = the reference's claim priority.
+    """
     d_orig = jnp.linalg.norm(xyz, axis=-1)
-    right, left = beam_limits(xyz[:, 0], xyz[:, 1], beam_rad)
+    right, left = beam_limits(xyz[:, 0], xyz[:, 1], cfg.beam_divergence_rad)
 
     a1, a2, hit = jax.vmap(candidate_intervals)(
         right,
@@ -118,6 +110,32 @@ def _per_point_kernel(
     occ_dist = -neg_top
     occ_a1 = jnp.take_along_axis(a1, top_idx, axis=1)
     occ_a2 = jnp.take_along_axis(a2, top_idx, axis=1)
+    return occ_a1, occ_a2, occ_dist, occ_valid, occ_overflow
+
+
+def _pulse_phase(
+    xyz,
+    intensity,
+    point_valid,
+    occ_a1,
+    occ_a2,
+    occ_dist,
+    occ_valid,
+    min_int,
+    max_int,
+    focal_slope,
+    focal_offset,
+    range_grid,
+    cfg: SnowfallConfig,
+):
+    """First-claim sweep + pulse re-simulation + label decision for P points
+    with pre-selected occluders."""
+    beam_rad = cfg.beam_divergence_rad
+    ipm = cfg.intervals_per_meter
+    c_tau = SPEED_OF_LIGHT * cfg.tau_h
+
+    d_orig = jnp.linalg.norm(xyz, axis=-1)
+    right, left = beam_limits(xyz[:, 0], xyz[:, 1], beam_rad)
 
     ratio, remainder, touched = jax.vmap(
         occlusion_sweep, in_axes=(0, 0, 0, 0, 0, None)
@@ -170,8 +188,42 @@ def _per_point_kernel(
         new_intensity,
         label,
         jnp.sum(diff),
-        jnp.sum(jnp.where(stats_valid, occ_overflow, 0)),
         jnp.sum(jnp.where(stats_valid, bump_overflow, 0)),
+    )
+
+
+def _per_point_kernel(
+    xyz,
+    intensity,
+    point_valid,
+    bank_row,
+    cand,            # (P, C, 4) gathered candidates: x, y, r, dist
+    n_window,        # (P,) exact angular-window population (overflow check)
+    min_int,
+    max_int,
+    focal_slope,
+    focal_offset,
+    range_grid,
+    cfg: SnowfallConfig,
+):
+    """Occlusion + pulse re-simulation for a chunk of P points
+    (_occluder_phase composed with _pulse_phase; the dense assembly runs the
+    two phases separately with a compaction in between)."""
+    occ_a1, occ_a2, occ_dist, occ_valid, occ_overflow = _occluder_phase(
+        xyz, cand, cfg
+    )
+    new_xyz, new_intensity, label, diff_sum, bump_of = _pulse_phase(
+        xyz, intensity, point_valid, occ_a1, occ_a2, occ_dist, occ_valid,
+        min_int, max_int, focal_slope, focal_offset, range_grid, cfg,
+    )
+    stats_valid = point_valid
+    return (
+        new_xyz,
+        new_intensity,
+        label,
+        diff_sum,
+        jnp.sum(jnp.where(stats_valid, occ_overflow, 0)),
+        bump_of,
         jnp.sum(
             jnp.where(stats_valid, jnp.maximum(n_window - cfg.window_size, 0), 0)
         ),
@@ -326,6 +378,7 @@ def snowfall_augment(
         occluder_overflow=jnp.sum(occ_of).astype(jnp.int32),
         bump_overflow=jnp.sum(bump_of).astype(jnp.int32),
         channel_overflow=jnp.int32(0),
+        compact_overflow=jnp.int32(0),
     )
 
 
@@ -433,50 +486,78 @@ def snowfall_augment_dense(
 
     range_grid = jnp.asarray(cfg.range_grid())
     xyz_blk = s_xyz.reshape(n_chunks, blk, 3)
-    int_blk = s_int.reshape(n_chunks, blk)
-    mi_c = min_int_lut[ch_of_chunk]
-    fs_c = fs_lut[ch_of_chunk]
-    fo_c = fo_lut[ch_of_chunk]
-    mx_c = max_int_lut[ch_of_chunk]
 
+    # --- phase A: dense intersection + nearest-K occluder selection ---
     def one_chunk(args):
-        (xyz_b, int_b, valid_b, row, lo_b, mi, fs, fo, mx) = args
+        (xyz_b, valid_b, row, lo_b) = args
         sl = jax.lax.dynamic_slice(
             bank.data, (row, lo_b, jnp.int32(0)), (1, w_sl, 4)
         )[0]
         wide = bank.wide[row]                                  # (Wc, 4)
         cand = jnp.concatenate([sl, wide], axis=0)             # (C, 4)
         cand_b = jnp.broadcast_to(cand[None], (blk,) + cand.shape)
-        b1 = jnp.broadcast_to
-        return _per_point_kernel(
-            xyz_b, int_b, valid_b,
-            b1(row, (blk,)),
-            cand_b,
-            jnp.zeros((blk,), jnp.int32),
-            b1(mi, (blk,)), b1(mx, (blk,)), b1(fs, (blk,)), b1(fo, (blk,)),
-            range_grid, cfg,
-        )
-
-    def group_fn(args):
-        return jax.vmap(one_chunk)(args)
+        a1, a2, dist_k, valid_k, occ_of = _occluder_phase(xyz_b, cand_b, cfg)
+        occ_of = jnp.where(valid_b, occ_of, 0)
+        valid_k = valid_k & valid_b[:, None]
+        return a1, a2, dist_k, valid_k, jnp.sum(occ_of)
 
     g = lambda a: a.reshape((n_chunks // grp, grp) + a.shape[1:])
-    outs = jax.lax.map(
-        group_fn,
+    occ_a1, occ_a2, occ_dist, occ_valid, occ_of = jax.lax.map(
+        lambda t: jax.vmap(one_chunk)(t),
+        (g(xyz_blk), g(valid_blk), g(row_of_chunk), g(lo)),
+    )
+    n2 = n_chunks * blk
+    k_occ = cfg.max_occluders
+    occ_a1 = occ_a1.reshape(n2, k_occ)
+    occ_a2 = occ_a2.reshape(n2, k_occ)
+    occ_dist = occ_dist.reshape(n2, k_occ)
+    occ_valid = occ_valid.reshape(n2, k_occ)
+
+    # --- phase B: compact points with >= 1 occluder ---
+    cap = cfg.compact_capacity or max(n2 // 4, cfg.pulse_chunk)
+    assert cap % cfg.pulse_chunk == 0, (
+        "compact_capacity must be divisible by pulse_chunk"
+    )
+    occluded = jnp.any(occ_valid, axis=1)
+    n_occluded = jnp.sum(occluded)
+    compact_overflow = jnp.maximum(n_occluded - cap, 0)
+    cidx = jnp.nonzero(occluded, size=cap, fill_value=n2)[0]
+    c_ok = cidx < n2
+    ci = jnp.clip(cidx, 0, n2 - 1)
+
+    slot_ch = jnp.repeat(jnp.arange(n_ch), pch)            # (n2,) channel ids
+    c_ch = slot_ch[ci]
+    c_xyz = s_xyz.reshape(n2, 3)[ci]
+    c_int = s_int.reshape(n2)[ci]
+
+    # --- phase C: sweep + pulse re-simulation on the compacted set ---
+    def pulse_chunk_fn(args):
+        (xyz_c, int_c, ok_c, a1_c, a2_c, d_c, v_c, mi, mx, fs, fo) = args
+        return _pulse_phase(
+            xyz_c, int_c, ok_c, a1_c, a2_c, d_c, v_c,
+            mi, mx, fs, fo, range_grid, cfg,
+        )
+
+    pc_ = lambda a: a.reshape((cap // cfg.pulse_chunk, cfg.pulse_chunk)
+                              + a.shape[1:])
+    (nx, ni, lab, diff_c, bump_of) = jax.lax.map(
+        pulse_chunk_fn,
         (
-            g(xyz_blk), g(int_blk), g(valid_blk), g(row_of_chunk), g(lo),
-            g(mi_c), g(fs_c), g(fo_c), g(mx_c),
+            pc_(c_xyz), pc_(c_int), pc_(c_ok),
+            pc_(occ_a1[ci]), pc_(occ_a2[ci]), pc_(occ_dist[ci]),
+            pc_(occ_valid[ci] & c_ok[:, None]),
+            pc_(min_int_lut[c_ch]), pc_(max_int_lut[c_ch]),
+            pc_(fs_lut[c_ch]), pc_(fo_lut[c_ch]),
         ),
     )
-    (nx, ni, lab, diff_c, occ_of, bump_of, _zero_win) = outs
-    n2 = n_chunks * blk
-    nx = nx.reshape(n2, 3)
-    ni = ni.reshape(n2)
-    lab = lab.reshape(n2)
+    nx = nx.reshape(cap, 3)
+    ni = ni.reshape(cap)
+    lab = lab.reshape(cap)
 
-    # --- scatter back to original order (padding slots dropped OOB) ---
+    # --- phase D: scatter compacted results to original order ---
     valid_flat = slot_valid.reshape(n2)
-    tgt = jnp.where(valid_flat, slot_orig.reshape(n2), n)
+    slot_to_orig = jnp.where(valid_flat, slot_orig.reshape(n2), n)
+    tgt = jnp.where(c_ok, slot_to_orig[ci], n)
     new_xyz = xyz.at[tgt].set(nx, mode="drop")
     new_int = intensity.at[tgt].set(ni, mode="drop")
     label = jnp.zeros(n, points.dtype).at[tgt].set(lab, mode="drop")
@@ -506,6 +587,7 @@ def snowfall_augment_dense(
         occluder_overflow=jnp.sum(occ_of).astype(jnp.int32),
         bump_overflow=jnp.sum(bump_of).astype(jnp.int32),
         channel_overflow=channel_overflow.astype(jnp.int32),
+        compact_overflow=compact_overflow.astype(jnp.int32),
     )
 
 
@@ -563,6 +645,7 @@ class SnowfallAugmenter:
             "occluder_overflow",
             "bump_overflow",
             "channel_overflow",
+            "compact_overflow",
         ):
             v = int(getattr(res, name))
             if v:

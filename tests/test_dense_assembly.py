@@ -77,6 +77,7 @@ def test_dense_matches_window(setup):
         assert r.occluder_overflow == 0
         assert r.bump_overflow == 0
         assert r.channel_overflow == 0
+        assert r.compact_overflow == 0
     n = len(setup[1])
     np.testing.assert_array_equal(rw.points[:n], rd.points[:n])
     np.testing.assert_array_equal(rw.keep[:n], rd.keep[:n])
@@ -94,6 +95,18 @@ def test_dense_channel_overflow_detected(setup):
     )
     res = _run(setup, cfg)
     assert int(res.channel_overflow) > 0
+
+
+def test_dense_compact_overflow_detected(setup):
+    """compact_capacity below the occluded-point count must be counted."""
+    cfg = SnowfallConfig(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, assembly="dense",
+        channel_capacity=128, block_points=32, slice_width=256, chunk_group=8,
+        compact_capacity=16, pulse_chunk=16,
+    )
+    res = _run(setup, cfg)
+    assert int(res.compact_overflow) > 0
 
 
 def test_dense_slice_overflow_detected(setup):
