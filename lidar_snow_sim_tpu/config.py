@@ -90,6 +90,11 @@ class SnowfallConfig:
     # Occluded fraction at the heaviest reference rate is ~20-30%.
     compact_capacity: int = 0
     pulse_chunk: int = 2048         # compacted points per pulse-phase step
+    # fused Pallas occluder-selection kernel for phase A (dense assembly);
+    # auto-falls back to XLA off-TPU. pallas_interpret forces the pallas
+    # interpreter (CPU testing only).
+    use_pallas: bool = True
+    pallas_interpret: bool = False
 
     # plane fit / laser parameter estimation
     ransac_trials: int = 64

@@ -104,6 +104,8 @@ def _occluder_phase(
     occ_overflow = jnp.maximum(n_hit - cfg.max_occluders, 0)
 
     # nearest max_occluders by range = the reference's claim priority
+    # (a "smarter" two-stage grouped top-k measured 4x SLOWER here: its
+    # take_along_axis gather is exactly the op XLA can't tile on TPU)
     score = jnp.where(hit, cand[:, :, 3], _INF)
     neg_top, top_idx = jax.lax.top_k(-score, cfg.max_occluders)
     occ_valid = neg_top > -_INF
@@ -488,24 +490,43 @@ def snowfall_augment_dense(
     xyz_blk = s_xyz.reshape(n_chunks, blk, 3)
 
     # --- phase A: dense intersection + nearest-K occluder selection ---
-    def one_chunk(args):
-        (xyz_b, valid_b, row, lo_b) = args
-        sl = jax.lax.dynamic_slice(
-            bank.data, (row, lo_b, jnp.int32(0)), (1, w_sl, 4)
-        )[0]
-        wide = bank.wide[row]                                  # (Wc, 4)
-        cand = jnp.concatenate([sl, wide], axis=0)             # (C, 4)
-        cand_b = jnp.broadcast_to(cand[None], (blk,) + cand.shape)
-        a1, a2, dist_k, valid_k, occ_of = _occluder_phase(xyz_b, cand_b, cfg)
-        occ_of = jnp.where(valid_b, occ_of, 0)
-        valid_k = valid_k & valid_b[:, None]
-        return a1, a2, dist_k, valid_k, jnp.sum(occ_of)
-
-    g = lambda a: a.reshape((n_chunks // grp, grp) + a.shape[1:])
-    occ_a1, occ_a2, occ_dist, occ_valid, occ_of = jax.lax.map(
-        lambda t: jax.vmap(one_chunk)(t),
-        (g(xyz_blk), g(valid_blk), g(row_of_chunk), g(lo)),
+    use_pallas = cfg.use_pallas and (
+        cfg.pallas_interpret or jax.default_backend() == "tpu"
     )
+    if use_pallas:
+        from lidar_snow_sim_tpu.ops.pallas_occluders import (
+            make_pallas_occluder_phase,
+        )
+
+        run = make_pallas_occluder_phase(
+            blk=blk, w_sl=w_sl, wide_cap=bank.wide.shape[1],
+            k_occ=cfg.max_occluders, beam_rad=cfg.beam_divergence_rad,
+            interpret=cfg.pallas_interpret,
+        )
+        occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
+            xyz_blk, row_of_chunk, lo.astype(jnp.int32), bank.data, bank.wide
+        )
+        occ_valid = occ_valid & valid_blk[:, :, None]
+        occ_of = jnp.sum(jnp.where(valid_blk, occ_of_pts, 0))
+    else:
+        def one_chunk(args):
+            (xyz_b, valid_b, row, lo_b) = args
+            sl = jax.lax.dynamic_slice(
+                bank.data, (row, lo_b, jnp.int32(0)), (1, w_sl, 4)
+            )[0]
+            wide = bank.wide[row]                                  # (Wc, 4)
+            cand = jnp.concatenate([sl, wide], axis=0)             # (C, 4)
+            cand_b = jnp.broadcast_to(cand[None], (blk,) + cand.shape)
+            a1, a2, dist_k, valid_k, of = _occluder_phase(xyz_b, cand_b, cfg)
+            of = jnp.where(valid_b, of, 0)
+            valid_k = valid_k & valid_b[:, None]
+            return a1, a2, dist_k, valid_k, jnp.sum(of)
+
+        g = lambda a: a.reshape((n_chunks // grp, grp) + a.shape[1:])
+        occ_a1, occ_a2, occ_dist, occ_valid, occ_of = jax.lax.map(
+            lambda t: jax.vmap(one_chunk)(t),
+            (g(xyz_blk), g(valid_blk), g(row_of_chunk), g(lo)),
+        )
     n2 = n_chunks * blk
     k_occ = cfg.max_occluders
     occ_a1 = occ_a1.reshape(n2, k_occ)

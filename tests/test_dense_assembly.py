@@ -97,6 +97,30 @@ def test_dense_channel_overflow_detected(setup):
     assert int(res.channel_overflow) > 0
 
 
+def test_pallas_phase_matches_window(setup):
+    """The fused Pallas phase-A kernel (interpret mode on CPU) must keep the
+    dense path bit-identical to the window path."""
+    base = dict(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, point_chunk=256,
+    )
+    rw = _run(setup, SnowfallConfig(**base, assembly="window"))
+    rp = _run(
+        setup,
+        SnowfallConfig(
+            **base, assembly="dense", channel_capacity=128,
+            block_points=32, slice_width=256, chunk_group=8,
+            use_pallas=True, pallas_interpret=True,
+        ),
+    )
+    assert int(rp.window_overflow) == 0
+    assert int(rp.compact_overflow) == 0
+    n = len(setup[1])
+    np.testing.assert_array_equal(rw.points[:n], rp.points[:n])
+    np.testing.assert_array_equal(rw.keep[:n], rp.keep[:n])
+    assert int(rw.num_attenuated) == int(rp.num_attenuated)
+
+
 def test_dense_compact_overflow_detected(setup):
     """compact_capacity below the occluded-point count must be counted."""
     cfg = SnowfallConfig(
