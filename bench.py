@@ -106,13 +106,16 @@ def main():
     )
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
 
-    step = jax.jit(
+    # bank/calib enter as ARGUMENTS, not closure captures: captured device
+    # arrays are embedded as MLIR constants, which forces a device->host
+    # fetch during lowering (fails over the remote-TPU tunnel)
+    step_ = jax.jit(
         jax.vmap(
-            lambda p, m, o, k: snowfall_augment(
-                p, m, bank, calib_arrays, o, k, cfg
-            )
+            lambda p, m, o, k, b, ca: snowfall_augment(p, m, b, ca, o, k, cfg),
+            in_axes=(0, 0, 0, 0, None, None),
         )
     )
+    step = lambda p, m, o, k: step_(p, m, o, k, bank, calib_arrays)
 
     # compile + warm up
     out = step(points, mask, orders, keys)

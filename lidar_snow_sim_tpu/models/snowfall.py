@@ -436,7 +436,9 @@ def snowfall_augment_dense(
     n_ch = order.shape[0]
     pch = cfg.channel_capacity
     blk = cfg.block_points
-    w_sl = cfg.slice_width
+    # a slice can never usefully exceed the extended bank row; small banks
+    # (light occupancy) would otherwise under-cover and report overflow
+    w_sl = min(cfg.slice_width, bank.angle.shape[1])
     grp = cfg.chunk_group
     assert pch % blk == 0, "channel_capacity must be divisible by block_points"
     blocks_per_ch = pch // blk

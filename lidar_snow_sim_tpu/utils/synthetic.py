@@ -20,7 +20,7 @@ from lidar_snow_sim_tpu.calib import SensorCalib, load_hdl64_calib
 def synthetic_scan(
     n_azimuth: int = 870,
     fov_deg: float = 87.0,
-    sensor_height: float = 1.7,
+    sensor_height: float = 1.75,
     max_range: float = 80.0,
     seed: int = 0,
     calib: SensorCalib | None = None,
@@ -47,8 +47,10 @@ def synthetic_scan(
 
     # Ground-plane hit with a mild random road grade and cm-level roughness
     # (a perfect plane would make the RANSAC MAD threshold degenerate).
-    slope_x = rng.uniform(-0.01, 0.01)
-    slope_y = rng.uniform(-0.005, 0.005)
+    # grade kept small enough that the reference ground crop (z < -1.55,
+    # planes.py:21) stays populated out to ~70 m with the 1.75 m mounting
+    slope_x = rng.uniform(-0.003, 0.003)
+    slope_y = rng.uniform(-0.002, 0.002)
     denom = dir_z - slope_x * dir_x - slope_y * dir_y
     t_ground = np.where(denom < -1e-4, -sensor_height / denom, np.inf)
     rough = rng.normal(0.0, 0.02, size=t_ground.shape)
@@ -60,7 +62,10 @@ def synthetic_scan(
     refl = np.full(az_g.shape, 0.12)  # asphalt-ish ground reflectivity
     for _ in range(n_boxes):
         bx = rng.uniform(8, 60)
-        by = rng.uniform(-15, 15)
+        # obstacles sit off the driving corridor (|y| > 4.5 m) so the
+        # reference's in-trajectory ground crop (|y| < 3, planes.py:24)
+        # keeps a clear line of sight, as on a real drivable road
+        by = rng.uniform(4.5, 15.0) * rng.choice((-1.0, 1.0))
         bw, bl, bh = rng.uniform(1, 4, size=3) * np.array([1, 1.5, 1.0])
         box_refl = rng.uniform(0.2, 0.9)
         # slab intersection with vertical box [bx±bw, by±bl, -1.55..-1.55+bh]
