@@ -44,7 +44,7 @@ def _kernel(
     a2_out,        #               writes one contiguous lane row
     dist_out,      # (1, K, blk)
     valid_out,     # (1, K, blk) f32 0/1
-    ovf_out,       # (1, blk) i32
+    ovf_out,       # (1, 1, blk) i32
     cand_scr,      # VMEM (W + Wc, 4)
     sems,          # DMA semaphores (2,)
     *,
@@ -105,7 +105,7 @@ def _kernel(
     a2 = jnp.where(left_hit, left, _wrap_02pi(pang + delta))
 
     n_hit = jnp.sum(hit.astype(jnp.int32), axis=1)
-    ovf_out[0, :] = jnp.maximum(n_hit - k_occ, 0)
+    ovf_out[0, 0, :] = jnp.maximum(n_hit - k_occ, 0)
 
     # ---- iterative nearest-K extraction (== top_k value/index order) ----
     score = jnp.where(hit, jnp.broadcast_to(pdist, hit.shape), _BIG)
@@ -157,7 +157,7 @@ def make_pallas_occluder_phase(
                 ),
             ] * 4 + [
                 pl.BlockSpec(
-                    (1, blk), lambda i, *_: (i, 0),
+                    (1, 1, blk), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -174,11 +174,11 @@ def make_pallas_occluder_phase(
                 jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
                 jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
                 jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                jax.ShapeDtypeStruct((n_chunks, blk), jnp.int32),
+                jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
             ],
             interpret=interpret,
         )(rows, los, pts_blk, bank_data, bank_wide)
         tr = lambda v: jnp.swapaxes(v, 1, 2)          # -> (n_chunks, blk, K)
-        return tr(a1), tr(a2), tr(dist), tr(valid) > 0.5, ovf
+        return tr(a1), tr(a2), tr(dist), tr(valid) > 0.5, ovf[:, 0, :]
 
     return run
