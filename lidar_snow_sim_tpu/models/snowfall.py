@@ -483,34 +483,48 @@ def snowfall_augment_dense(
     max_az = jnp.max(jnp.where(valid_blk, az_blk, -jnp.inf), axis=1)
     delta = cfg.beam_divergence_rad / 2 + cfg.wide_threshold
     k_ext = bank.angle.shape[1]
-    lo = _batched_searchsorted(bank.angle, row_of_chunk, min_az - delta, k_ext)
+    lo_raw = _batched_searchsorted(
+        bank.angle, row_of_chunk, min_az - delta, k_ext
+    )
     hi_req = _batched_searchsorted(bank.angle, row_of_chunk, max_az + delta, k_ext)
-    lo = jnp.clip(lo, 0, max(k_ext - w_sl, 0))
-    cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_sl), 0))
 
     range_grid = jnp.asarray(cfg.range_grid())
     xyz_blk = s_xyz.reshape(n_chunks, blk, 3)
 
     # --- phase A: dense intersection + nearest-K occluder selection ---
-    use_pallas = cfg.use_pallas and (
-        cfg.pallas_interpret or jax.default_backend() == "tpu"
+    # Mosaic DMA requires lane-dim starts aligned to 128: the pallas slice
+    # start is rounded DOWN to a 128 multiple with 128 extra width, which can
+    # only widen coverage. Falls back to XLA when the bank row is too short
+    # for the aligned slice.
+    w_pallas = w_sl + 128
+    use_pallas = (
+        cfg.use_pallas
+        and (cfg.pallas_interpret or jax.default_backend() == "tpu")
+        and k_ext >= w_pallas
     )
     if use_pallas:
         from lidar_snow_sim_tpu.ops.pallas_occluders import (
             make_pallas_occluder_phase,
         )
 
+        lo = jnp.clip(lo_raw, 0, k_ext - w_pallas)
+        lo = (lo // 128) * 128
+        cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_pallas), 0))
         run = make_pallas_occluder_phase(
-            blk=blk, w_sl=w_sl, wide_cap=bank.wide.shape[1],
+            blk=blk, w_sl=w_pallas, wide_cap=bank.wide_t.shape[2],
             k_occ=cfg.max_occluders, beam_rad=cfg.beam_divergence_rad,
             interpret=cfg.pallas_interpret,
         )
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
-            xyz_blk, row_of_chunk, lo.astype(jnp.int32), bank.data, bank.wide
+            xyz_blk, row_of_chunk, lo.astype(jnp.int32),
+            bank.data_t, bank.wide_t,
         )
         occ_valid = occ_valid & valid_blk[:, :, None]
         occ_of = jnp.sum(jnp.where(valid_blk, occ_of_pts, 0))
     else:
+        lo = jnp.clip(lo_raw, 0, max(k_ext - w_sl, 0))
+        cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_sl), 0))
+
         def one_chunk(args):
             (xyz_b, valid_b, row, lo_b) = args
             sl = jax.lax.dynamic_slice(

@@ -4,15 +4,21 @@ The XLA dense path materializes per-chunk (block_points x slice_width)
 interval/hit/score arrays in HBM (~0.8 GB of traffic per scan at the bench
 shapes). This kernel keeps everything in VMEM: per grid step it DMAs one
 bank slice (row, lo..lo+W) plus the wide list into scratch, runs the exact
-intersection test + tangent-interval computation (ops.geometry semantics,
-inlined in beam-broadcast form), and extracts the K nearest intersecting
-particles with an iterative masked-argmin loop — bit-identical to
-jax.lax.top_k's value-then-lowest-index ordering, which is the reference's
-claim priority (simulation.py:412-417).
+intersection test + tangent-interval computation (ops.geometry semantics),
+and extracts the K nearest intersecting particles with an iterative
+masked-argmin loop — identical value-then-lowest-index ordering to
+jax.lax.top_k, which is the reference's claim priority
+(simulation.py:412-417).
 
-Outputs per point: clipped interval angles a1/a2, particle range, validity,
-and the overflow count beyond K. The caller masks by point validity and
-feeds the compacted sweep/pulse phases exactly as with the XLA path.
+Mosaic has no atan2/asin lowering, so the kernel is TRANSCENDENTAL-FREE:
+particle azimuth and tangent half-width are precomputed bank columns
+(ParticleBank.data_t rows 4-5), per-point trig (sin/cos of the beam edges)
+is computed outside in XLA and passed as an 8-row feature block, and the
+half-plane test cos(edge - pang) > 0 is evaluated algebraically as
+cos_e*px + sin_e*py > 0 (same sign; divide by the positive range).
+
+Point-feature rows: [d_orig, right, left, sin_r, cos_r, sin_l, cos_l,
+wrapped_beam]. Bank property rows: [x, y, r, dist, azimuth_02pi, halfwidth].
 """
 
 from __future__ import annotations
@@ -28,81 +34,104 @@ from jax.experimental.pallas import tpu as pltpu
 TWO_PI = 2.0 * math.pi
 _BIG = 3.0e38  # plain float: a jnp scalar here would be a captured constant
 
+N_FEAT = 8   # point-feature rows
+N_PROP = 8   # bank property rows (2 spare)
 
-def _wrap_02pi(a):
-    a = jnp.where(a < 0, a + TWO_PI, a)
-    return jnp.where(a > TWO_PI, a - TWO_PI, a)
+
+def point_features(xyz, beam_rad: float):
+    """(..., N) points -> (..., N_FEAT) feature rows for the kernel, computed
+    in XLA (atan2/sin/cos are not lowerable inside Mosaic)."""
+    x, y = xyz[..., 0], xyz[..., 1]
+    d = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1))
+    center = jnp.arctan2(y, x)
+    center = jnp.where(center < 0, center + TWO_PI, center)
+    right = center - beam_rad / 2
+    right = jnp.where(right < 0, right + TWO_PI, right)
+    left = center + beam_rad / 2
+    left = jnp.where(left > TWO_PI, left - TWO_PI, left)
+    return jnp.stack(
+        [
+            d, right, left,
+            jnp.sin(right), jnp.cos(right), jnp.sin(left), jnp.cos(left),
+            (right > left).astype(jnp.float32),
+        ],
+        axis=-1,
+    )
 
 
 def _kernel(
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
     los_ref,       # (n_chunks,) i32, scalar-prefetch
-    pts_ref,       # (1, blk, 3) VMEM block
-    bank_ref,      # (C_banks, K_ext, 4) in HBM/ANY
-    wide_ref,      # (C_banks, Wc, 4) in HBM/ANY
+    feat_ref,      # (1, blk, N_FEAT) VMEM block
+    bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY (ParticleBank.data_t)
+    wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY (ParticleBank.wide_t)
     a1_out,        # (1, K, blk) — K on the sublane axis so each k-step
     a2_out,        #               writes one contiguous lane row
     dist_out,      # (1, K, blk)
     valid_out,     # (1, K, blk) f32 0/1
     ovf_out,       # (1, 1, blk) i32
-    cand_scr,      # VMEM (W + Wc, 4)
+    cand_scr,      # VMEM (N_PROP, W + Wc)
     sems,          # DMA semaphores (2,)
     *,
     blk: int,
     w_sl: int,
     wide_cap: int,
     k_occ: int,
-    beam_rad: float,
 ):
     i = pl.program_id(0)
     row = rows_ref[i]
-    lo = los_ref[i]
+    lo = pl.multiple_of(los_ref[i], 128)  # caller aligns slice starts
 
     slice_cp = pltpu.make_async_copy(
-        bank_ref.at[row, pl.ds(lo, w_sl), :], cand_scr.at[pl.ds(0, w_sl), :],
+        bank_ref.at[row, :, pl.ds(lo, w_sl)],
+        cand_scr.at[:, pl.ds(0, w_sl)],
         sems.at[0],
     )
     wide_cp = pltpu.make_async_copy(
-        wide_ref.at[row], cand_scr.at[pl.ds(w_sl, wide_cap), :], sems.at[1]
+        wide_ref.at[row], cand_scr.at[:, pl.ds(w_sl, wide_cap)], sems.at[1]
     )
     slice_cp.start()
     wide_cp.start()
 
-    xyz = pts_ref[0]                                  # (blk, 3)
-    x, y = xyz[:, 0:1], xyz[:, 1:2]                   # (blk, 1)
-    d_orig = jnp.sqrt(jnp.sum(xyz * xyz, axis=1, keepdims=True))
-    center = _wrap_02pi(jnp.arctan2(y, x))
-    right = _wrap_02pi(center - beam_rad / 2)
-    left = _wrap_02pi(center + beam_rad / 2)
-    wrapped_beam = right > left
-    sin_r, cos_r = jnp.sin(right), jnp.cos(right)
-    sin_l, cos_l = jnp.sin(left), jnp.cos(left)
+    feat = feat_ref[0]                                # (blk, N_FEAT)
+    d_orig = feat[:, 0:1]
+    right = feat[:, 1:2]
+    left = feat[:, 2:3]
+    sin_r = feat[:, 3:4]
+    cos_r = feat[:, 4:5]
+    sin_l = feat[:, 5:6]
+    cos_l = feat[:, 6:7]
+    wrapped_beam = feat[:, 7:8] > 0.5
 
     slice_cp.wait()
     wide_cp.wait()
 
-    cand = cand_scr[:]                                # (C, 4)
-    px = cand[:, 0][None, :]                          # (1, C)
-    py = cand[:, 1][None, :]
-    pr = cand[:, 2][None, :]
-    pdist = cand[:, 3][None, :]
+    px = cand_scr[0:1, :]                             # (1, C)
+    py = cand_scr[1:2, :]
+    pr = cand_scr[2:3, :]
+    pdist = cand_scr[3:4, :]
+    pang = cand_scr[4:5, :]
+    halfw = cand_scr[5:6, :]
 
     # ---- exact intersection test (ops/geometry.candidate_intervals) ----
-    pang = _wrap_02pi(jnp.arctan2(py, px))            # (1, C) -> broadcast
     center_in = (right <= pang) & (pang <= left)
     center_in |= wrapped_beam & (right - TWO_PI <= pang) & (pang <= left)
     center_in |= wrapped_beam & (right <= pang) & (pang <= left + TWO_PI)
 
     dist_r = jnp.abs(px * sin_r - py * cos_r)
     dist_l = jnp.abs(px * sin_l - py * cos_l)
-    right_hit = (dist_r < pr) & (jnp.cos(right - pang) > 0)
-    left_hit = (dist_l < pr) & (jnp.cos(left - pang) > 0)
+    # half-plane: cos(edge - pang) > 0  <=>  cos_e*px + sin_e*py > 0
+    right_hit = (dist_r < pr) & (cos_r * px + sin_r * py > 0)
+    left_hit = (dist_l < pr) & (cos_l * px + sin_l * py > 0)
 
     hit = (center_in | right_hit | left_hit) & (pdist < d_orig)  # (blk, C)
 
-    delta = jnp.arcsin(jnp.clip(pr / jnp.maximum(pdist, 1e-12), 0.0, 1.0))
-    a1 = jnp.where(right_hit, right, _wrap_02pi(pang - delta))  # (blk, C)
-    a2 = jnp.where(left_hit, left, _wrap_02pi(pang + delta))
+    a1_raw = pang - halfw
+    a1_raw = jnp.where(a1_raw < 0, a1_raw + TWO_PI, a1_raw)
+    a2_raw = pang + halfw
+    a2_raw = jnp.where(a2_raw > TWO_PI, a2_raw - TWO_PI, a2_raw)
+    a1 = jnp.where(right_hit, right, a1_raw)          # (blk, C)
+    a2 = jnp.where(left_hit, left, a2_raw)
 
     n_hit = jnp.sum(hit.astype(jnp.int32), axis=1)
     ovf_out[0, 0, :] = jnp.maximum(n_hit - k_occ, 0)
@@ -131,20 +160,25 @@ def make_pallas_occluder_phase(
     *, blk: int, w_sl: int, wide_cap: int, k_occ: int, beam_rad: float,
     interpret: bool = False,
 ):
-    """Build the fused phase-A callable for fixed static shapes."""
+    """Build the fused phase-A callable for fixed static shapes.
+
+    The returned function takes (xyz_blk, rows, los, bank_data_t,
+    bank_wide_t) and returns (a1, a2, dist, valid, overflow) shaped
+    ((n_chunks, blk, K) x 4, (n_chunks, blk)).
+    """
     kernel = functools.partial(
         _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
-        beam_rad=beam_rad,
     )
 
-    def run(pts_blk, rows, los, bank_data, bank_wide):
-        n_chunks = pts_blk.shape[0]
+    def run(xyz_blk, rows, los, bank_data_t, bank_wide_t):
+        n_chunks = xyz_blk.shape[0]
+        feats = point_features(xyz_blk, beam_rad)     # (n_chunks, blk, F)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, blk, 3), lambda i, *_: (i, 0, 0),
+                    (1, blk, N_FEAT), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -162,7 +196,7 @@ def make_pallas_occluder_phase(
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((w_sl + wide_cap, 4), jnp.float32),
+                pltpu.VMEM((N_PROP, w_sl + wide_cap), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -177,7 +211,7 @@ def make_pallas_occluder_phase(
                 jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
             ],
             interpret=interpret,
-        )(rows, los, pts_blk, bank_data, bank_wide)
+        )(rows, los, feats, bank_data_t, bank_wide_t)
         tr = lambda v: jnp.swapaxes(v, 1, 2)          # -> (n_chunks, blk, K)
         return tr(a1), tr(a2), tr(dist), tr(valid) > 0.5, ovf[:, 0, :]
 

@@ -41,6 +41,11 @@ class ParticleBank(NamedTuple):
     data/angle rows are the *extended* arrays: [front wrap pad (angle-2pi),
     sorted narrow particles, back wrap pad (angle+2pi), filler]. All arrays are
     numpy on host; move to device with jax.device_put (they are pytrees).
+
+    data_t/wide_t are transposed property-major copies for the Pallas kernel
+    (each property a contiguous lane row; Mosaic has no atan2/asin, so the
+    wrapped azimuth and tangent half-width are precomputed columns):
+    rows = [x, y, r, dist, azimuth in [0, 2pi), asin(r/d), 0, 0].
     """
 
     data: np.ndarray        # (C, K_ext, 4) f32: x, y, r, dist
@@ -49,6 +54,8 @@ class ParticleBank(NamedTuple):
     start: np.ndarray       # (C,) i32: index of first non-pad entry (== pad)
     wide: np.ndarray        # (C, W, 4) f32: x, y, r, dist
     wide_count: np.ndarray  # (C,) i32
+    data_t: np.ndarray      # (C, 8, K_ext) f32 transposed + derived columns
+    wide_t: np.ndarray      # (C, 8, W) f32
 
     @property
     def num_channels(self) -> int:
@@ -108,6 +115,22 @@ def build_bank(
     wide[:, :, 3] = _FILLER_DIST
     wide_count = np.zeros(C, dtype=np.int32)
 
+    def _transpose_props(arr4: np.ndarray) -> np.ndarray:
+        """(K, 4) [x,y,r,dist] -> (8, K) property rows with derived azimuth
+        (wrapped to [0, 2pi)) and tangent half-width columns."""
+        k = len(arr4)
+        out = np.zeros((8, k), dtype=np.float32)
+        if k == 0:
+            return out
+        x, y, r, d = (arr4[:, i] for i in range(4))
+        out[0], out[1], out[2], out[3] = x, y, r, d
+        ang = np.arctan2(y, x)
+        out[4] = np.where(ang < 0, ang + TWO_PI, ang)
+        out[5] = np.arcsin(np.clip(r / np.maximum(d, 1e-12), 0.0, 1.0))
+        # filler entries (dist >= 1e9): keep azimuth huge so no test passes
+        out[4] = np.where(d >= _FILLER_DIST, _FILLER_ANGLE, out[4])
+        return out
+
     for c, (nr, wd) in enumerate(zip(narrow_rows, wide_rows)):
         n = len(nr)
         count[c] = n
@@ -134,7 +157,17 @@ def build_bank(
             wide[c, : len(wd)] = wd.astype(np.float32)
             wide_count[c] = len(wd)
 
-    return ParticleBank(data, angle, count, start, wide, wide_count)
+    data_t = np.stack([_transpose_props(row) for row in data])
+    # lane dimension padded to a multiple of 128 (Mosaic DMA alignment);
+    # filler lanes carry dist=1e9 so no intersection test can pass
+    wc_pad = max(((wide_capacity + 127) // 128) * 128, 128)
+    wide_padded = np.zeros((C, wc_pad, 4), dtype=np.float32)
+    wide_padded[:, :, 3] = _FILLER_DIST
+    wide_padded[:, :wide_capacity] = wide
+    wide_t = np.stack([_transpose_props(row) for row in wide_padded])
+    return ParticleBank(
+        data, angle, count, start, wide, wide_count, data_t, wide_t
+    )
 
 
 def load_bank_files(
