@@ -148,10 +148,10 @@ def main():
     )
     sub = pc[np.sort(sub_idx)]
     order0 = np.asarray(orders[0])
-    # best of 2 trials: the oracle is a host-CPU loop, so a single timing is
+    # best of 3 trials: the oracle is a host-CPU loop, so a single timing is
     # vulnerable to transient load; min is the honest per-scan cost
     t_oracle = np.inf
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         augment_oracle(
             sub.astype(np.float64),
