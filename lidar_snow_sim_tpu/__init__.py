@@ -23,6 +23,8 @@ def __getattr__(name):
     """Lazy top-level API: heavyweight models import on first touch so that
     `import lidar_snow_sim_tpu` stays cheap (no jax trace-time work)."""
     lazy = {
+        "augment": "lidar_snow_sim_tpu.api",
+        "ground_water_augmentation": "lidar_snow_sim_tpu.api",
         "SnowfallAugmenter": "lidar_snow_sim_tpu.models.snowfall",
         "WetGroundAugmenter": "lidar_snow_sim_tpu.models.wet_ground",
         "FogAugmenter": "lidar_snow_sim_tpu.models.fog",
@@ -45,6 +47,8 @@ def __getattr__(name):
 
 
 __all__ = [
+    "augment",
+    "ground_water_augmentation",
     "SnowfallConfig",
     "WetGroundConfig",
     "SensorCalib",

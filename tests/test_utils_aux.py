@@ -4,6 +4,7 @@ distribution, fresnel extras (reference parity surfaces, SURVEY.md §2.1)."""
 import json
 
 import numpy as np
+import pytest
 
 from lidar_snow_sim_tpu.ops.fresnel import (
     bathymetric_scattering,
@@ -139,6 +140,35 @@ def test_incidence_range_distribution():
         np.zeros((0, 3)), 50.0, 4
     )
     np.testing.assert_allclose(r2, 50.0)
+
+
+def test_stage_profiler():
+    import time
+
+    from lidar_snow_sim_tpu.utils.profiling import StageProfiler
+
+    p = StageProfiler()
+    with p.stage("load"):
+        time.sleep(0.01)
+    with p.stage("load"):
+        time.sleep(0.01)
+    p.count("scans", 4)
+    r = p.report()
+    assert r["stages"]["load"]["calls"] == 2
+    assert r["stages"]["load"]["s"] >= 0.02
+    assert r["counters"]["scans"] == 4
+    assert p.rate("scans") > 0
+    assert p.rate("scans", per_stage="load") > p.rate("scans")
+
+
+def test_top_level_lazy_exports():
+    import lidar_snow_sim_tpu as pkg
+
+    assert callable(pkg.augment)
+    assert callable(pkg.ground_water_augmentation)
+    assert callable(pkg.dynamic_radius_outlier_filter)
+    with pytest.raises(AttributeError):
+        pkg.not_a_symbol
 
 
 def test_fresnel_extras():
