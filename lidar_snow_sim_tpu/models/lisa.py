@@ -18,8 +18,13 @@ same physics runs as one fused jittable kernel:
   points, no Python loops.
 - Signal model ('strongest' return): the hard target competes with each
   droplet's occlusion-weighted backscatter; below the min-detectable power the
-  point is lost. Labels follow LISA's convention: 0 = lost, 1 = scattered by a
-  droplet, 2 = attenuated original return.
+  point is lost. Output follows the submodule's exact contract as consumed by
+  the viewer (`pointcloud_viewer.py:2901-2929`): an (N, 6) array
+  [x, y, z, intensity, label, intensity_diff] with label 0 = lost (point
+  moved to the origin), 1 = attenuated, 2 = scattered by a droplet, and the
+  caller filters label != 0. Modes: 'rain' (Marshall-Palmer), snow with
+  'gunn' / 'sekhon' size distributions (the viewer's dropdown,
+  `pointcloud_viewer.py:943`), and 'fog'.
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ from lidar_snow_sim_tpu.ops.mie import bake_mie_lut
 
 
 class LisaResult(NamedTuple):
-    points: jax.Array   # (N, 5): x, y, z, intensity, label (0 lost / 1 scat / 2 att)
+    points: jax.Array   # (N, 6): x, y, z, intensity, label, intensity_diff
     keep: jax.Array     # (N,) label > 0
     num_lost: jax.Array
     num_scattered: jax.Array
@@ -79,7 +84,8 @@ class LISA:
         # water otherwise
         from lidar_snow_sim_tpu.ops.mie import WATER_M_905NM
 
-        m = complex(1.302, 2.9e-7) if mode == "snow" else WATER_M_905NM
+        snow_modes = ("snow", "gunn", "sekhon")
+        m = complex(1.302, 2.9e-7) if mode in snow_modes else WATER_M_905NM
         self._lut = bake_mie_lut(wavelength_nm=wavelength, m=m)
         # quadrature grid over diameter for alpha(Rr) and the DSD inverse CDF;
         # fog droplets live at µm scales, precipitation at mm scales
@@ -106,19 +112,35 @@ class LISA:
           reused as a density knob (as the submodule does for its fog presets)
         """
         D = np.asarray(D)
-        if self.mode == "snow":
-            lam = 2.55 * Rr ** (-0.48)
+        if self.mode in ("snow", "gunn"):
+            lam = 2.55 * Rr ** (-0.48)     # gunn_marshall, sampling.py:81
             return 3800.0 * Rr ** (-0.87) * np.exp(-lam * D)
+        if self.mode == "sekhon":
+            lam = 2.29 * Rr ** (-0.45)     # sekhon_srivastava, sampling.py:72
+            return 2500.0 * Rr ** (-0.94) * np.exp(-lam * D)
         if self.mode == "fog":
             d_mode = 0.01  # 10 µm modal diameter
             return 1.0e8 * Rr * (D / d_mode) ** 2 * np.exp(-3.0 * D / d_mode)
         lam = 4.1 * Rr ** (-0.21)
         return 8000.0 * np.exp(-lam * D)
 
-    def alpha(self, Rr):
+    @property
+    def D(self):
+        """Diameter quadrature grid [mm] (the viewer reads `lisa.D`,
+        pointcloud_viewer.py:2794)."""
+        return self._d_grid
+
+    def alpha(self, curve_or_Rr):
         """Extinction coefficient [1/m]: ∫ Qext(D)·(π/4)D²·N(D) dD, D in mm
-        (10⁻⁶ converts mm² to m²)."""
-        nd = self.Nd(self._d_grid, Rr)
+        (10⁻⁶ converts mm² to m²).
+
+        Accepts either a precipitation rate Rr [mm/h] or a density curve
+        N(D) evaluated on `self.D` (the viewer passes `lisa.Nd(lisa.D, Rr)`,
+        pointcloud_viewer.py:2794-2795).
+        """
+        nd = np.asarray(curve_or_Rr)
+        if nd.ndim == 0:
+            nd = self.Nd(self._d_grid, float(nd))
         integrand = self._qext * (np.pi / 4.0) * self._d_grid**2 * nd * 1e-6
         return float(np.trapezoid(integrand, self._d_grid))
 
@@ -145,9 +167,10 @@ class LISA:
 
     def _augment_core(self, points, mask, key, alpha, density, cdf, d_grid,
                       qback_grid):
+        """points carry intensity on the LISA-normalized [0, 1] scale."""
         bdiv = self.beam_divergence
         xyz = points[:, :3]
-        intensity = points[:, 3] / 255.0          # reflectivity scale, as LISA
+        intensity = points[:, 3]
         d = jnp.maximum(jnp.linalg.norm(xyz, axis=-1), 1e-6)
         n = points.shape[0]
         kmax = self.max_droplets
@@ -197,21 +220,24 @@ class LISA:
         r_jit = r_best + self.range_accuracy * jax.random.normal(kj, (n,))
         r_new = jnp.clip(r_jit, self.r_min, d)
         scale = jnp.where(droplet_wins & ~lost, r_new / d, 1.0)
-        new_xyz = xyz * scale[:, None]
+        # lost points move to the origin (the submodule's convention; the
+        # viewer filters label != 0, pointcloud_viewer.py:2929)
+        new_xyz = jnp.where(lost[:, None], 0.0, xyz * scale[:, None])
 
-        # intensity back on the 0..255 scale: returned power re-normalized by
-        # the (new) range so attenuated points keep i·e^{-2αd} semantics
         i_new = jnp.where(
             droplet_wins, p_best * r_new**2, intensity * jnp.exp(-2.0 * alpha * d)
         )
-        i_new = jnp.clip(i_new * 255.0, 0.0, 255.0)
+        i_new = jnp.where(lost, 0.0, jnp.clip(i_new, 0.0, 1.0))
 
+        # labels: 0 lost, 1 attenuated, 2 scattered (viewer:2905-2907)
         label = jnp.where(
-            lost, 0.0, jnp.where(droplet_wins, 1.0, 2.0)
+            lost, 0.0, jnp.where(droplet_wins, 2.0, 1.0)
         )
+        attenuated = ~lost & ~droplet_wins
+        diff = jnp.where(attenuated, intensity - i_new, 0.0)
         keep = mask & ~lost
         out = jnp.concatenate(
-            [new_xyz, i_new[:, None], label[:, None]], axis=1
+            [new_xyz, i_new[:, None], label[:, None], diff[:, None]], axis=1
         )
         return LisaResult(
             points=out,
@@ -221,40 +247,67 @@ class LISA:
             num_attenuated=jnp.sum(keep & ~droplet_wins).astype(jnp.int32),
         )
 
-    def augment(self, pc: np.ndarray, Rr: float, fixed_seed: bool = False,
-                seed: int = 0):
-        """Augment an (N, ≥4) cloud at rain rate Rr [mm/h].
+    def augment(self, pc: np.ndarray, Rr: float = 10.0,
+                fixed_seed: bool = False, seed: int = 0) -> np.ndarray:
+        """Augment an (N, >=4) cloud at precipitation rate Rr [mm/h].
 
-        Returns (aug_pc, stats) with aug_pc (M, 5) — lost points removed, the
-        label column holding LISA's 1 = scattered / 2 = attenuated codes.
+        Reference contract (`pointcloud_viewer.py:2901-2929`): returns an
+        (N, 6) array [x, y, z, intensity, label, intensity_diff]; label
+        0 = lost (point at origin), 1 = attenuated, 2 = scattered; the caller
+        filters label != 0. Intensity scale is preserved: inputs on [0, 1]
+        (the submodule's convention) stay normalized; inputs on [0, 255] are
+        normalized internally and rescaled on output (the diff column stays
+        on the normalized scale, as the viewer multiplies it by 255).
         """
+        res, scale_back = self._run(pc, Rr, fixed_seed, seed)
+        out = np.asarray(res.points[: len(pc)]).copy()
+        out[:, 3] *= scale_back
+        return out
+
+    def augment_compact(self, pc: np.ndarray, Rr: float = 10.0,
+                        fixed_seed: bool = False, seed: int = 0):
+        """Convenience wrapper: (kept points (M, 5), stats dict) with lost
+        points removed — the shape the rest of this package works in."""
+        res, scale_back = self._run(pc, Rr, fixed_seed, seed)
+        res = jax.device_get(res)
+        kept = res.points[res.keep][:, :5].copy()
+        kept[:, 3] *= scale_back
+        stats = {
+            "num_lost": int(res.num_lost),
+            "num_scattered": int(res.num_scattered),
+            "num_attenuated": int(res.num_attenuated),
+        }
+        return kept, stats
+
+    def _run(self, pc: np.ndarray, Rr: float, fixed_seed: bool, seed: int):
         from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
 
+        pc = np.asarray(pc)
         n = pc.shape[0]
         cap = 1 << max(int(np.ceil(np.log2(max(n, 2)))), 1)
         pc5 = np.zeros((n, 5), np.float32)
-        pc5[:, : pc.shape[1]] = pc[:, :5]
+        pc5[:, : min(pc.shape[1], 5)] = pc[:, :5]
+        i_max = float(pc5[:, 3].max()) if n else 0.0
+        scale_back = 255.0 if i_max > 1.5 else 1.0
+        pc5[:, 3] /= scale_back
         padded = pad_cloud(pc5, cap)
 
         alpha = self.alpha(Rr)
         density = self.droplet_density(Rr)
         cdf, d_grid, qback_grid = self._dsd_inverse_cdf(Rr)
-        key = jax.random.PRNGKey(seed if fixed_seed else np.random.randint(2**31))
-        res = self._jit_augment(
-            jnp.asarray(padded.points),
-            jnp.asarray(padded.mask),
-            key,
-            jnp.float32(alpha),
-            jnp.float32(density),
-            cdf,
-            d_grid,
-            qback_grid,
+        key = jax.random.PRNGKey(
+            seed if fixed_seed else np.random.randint(2**31)
         )
-        res = jax.device_get(res)
-        stats = {
-            "num_lost": int(res.num_lost),
-            "num_scattered": int(res.num_scattered),
-            "num_attenuated": int(res.num_attenuated),
-            "alpha": alpha,
-        }
-        return res.points[res.keep], stats
+        res = jax.device_get(
+            self._jit_augment(
+                jnp.asarray(padded.points),
+                jnp.asarray(padded.mask),
+                key,
+                jnp.float32(alpha),
+                jnp.float32(density),
+                cdf,
+                d_grid,
+                qback_grid,
+            )
+        )
+        return res, scale_back

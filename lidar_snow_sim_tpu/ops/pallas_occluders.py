@@ -137,23 +137,38 @@ def _kernel(
     ovf_out[0, 0, :] = jnp.maximum(n_hit - k_occ, 0)
 
     # ---- iterative nearest-K extraction (== top_k value/index order) ----
+    # Trip count is the block's max occluder count (occluders are sparse:
+    # typically <= 8 of K=24), with untaken slots pre-cleared.
     score = jnp.where(hit, jnp.broadcast_to(pdist, hit.shape), _BIG)
     c = score.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, c), 1)
 
+    a1_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+    a2_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+    dist_out[0] = jnp.full((k_occ, blk), _BIG, jnp.float32)
+    valid_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+
     a1b = jnp.broadcast_to(a1, (blk, c))
     a2b = jnp.broadcast_to(a2, (blk, c))
-    for k in range(k_occ):
+    block_k = jnp.minimum(jnp.max(n_hit), k_occ)
+
+    def body(k, score):
         m = jnp.min(score, axis=1, keepdims=True)          # (blk, 1)
         eq = score == m
         first = jnp.min(jnp.where(eq, col, c), axis=1, keepdims=True)
         onehot = col == first
         valid = m < _BIG
-        a1_out[0, k, :] = jnp.sum(jnp.where(onehot, a1b, 0.0), axis=1)
-        a2_out[0, k, :] = jnp.sum(jnp.where(onehot, a2b, 0.0), axis=1)
-        dist_out[0, k, :] = m[:, 0]
-        valid_out[0, k, :] = valid[:, 0].astype(jnp.float32)
-        score = jnp.where(onehot, _BIG, score)
+        a1_out[0, pl.ds(k, 1), :] = jnp.sum(
+            jnp.where(onehot, a1b, 0.0), axis=1
+        )[None, :]
+        a2_out[0, pl.ds(k, 1), :] = jnp.sum(
+            jnp.where(onehot, a2b, 0.0), axis=1
+        )[None, :]
+        dist_out[0, pl.ds(k, 1), :] = m[:, 0][None, :]
+        valid_out[0, pl.ds(k, 1), :] = valid[:, 0].astype(jnp.float32)[None, :]
+        return jnp.where(onehot, _BIG, score)
+
+    jax.lax.fori_loop(0, block_k, body, score)
 
 
 def make_pallas_occluder_phase(

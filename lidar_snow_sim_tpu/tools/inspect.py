@@ -134,8 +134,8 @@ def main(argv=None):
     if aug == "lisa":
         from lidar_snow_sim_tpu.models.lisa import LISA
 
-        pc, stats = LISA().augment(pc, args.rain_rate, fixed_seed=True,
-                                   seed=args.seed)
+        pc, stats = LISA().augment_compact(pc, args.rain_rate, fixed_seed=True,
+                                           seed=args.seed)
         report["lisa"] = stats
     if aug == "fog":
         from lidar_snow_sim_tpu.models.fog import (

@@ -133,24 +133,52 @@ def test_lisa_nd_marshall_palmer():
     )
 
 
-def test_lisa_augment_labels_and_determinism(cloud):
+def test_lisa_augment_reference_contract(cloud):
+    """The viewer's exact consumption pattern (pointcloud_viewer.py:2901-2929):
+    (N, 6) output, label 0 lost at origin / 1 attenuated / 2 scattered,
+    intensity-diff column, deterministic under fixed_seed."""
     l = LISA(dsd_points=64)
-    aug1, s1 = l.augment(cloud, 10.0, fixed_seed=True)
-    aug2, s2 = l.augment(cloud, 10.0, fixed_seed=True)
+    aug1 = l.augment(cloud, 10.0, fixed_seed=True)
+    aug2 = l.augment(cloud, 10.0, fixed_seed=True)
     np.testing.assert_allclose(aug1, aug2)
-    assert s1 == s2
-    assert set(np.unique(aug1[:, 4])) <= {1.0, 2.0}
-    assert s1["num_lost"] + len(aug1) == len(cloud)
-    # scattered points moved closer than their originals ever were
-    scat = aug1[aug1[:, 4] == 1.0]
-    if len(scat):
-        assert np.linalg.norm(scat[:, :3], axis=1).max() <= 80.0 + 1e-3
+    assert aug1.shape == (len(cloud), 6)
+    assert set(np.unique(aug1[:, 4])) <= {0.0, 1.0, 2.0}
+    lost = aug1[:, 4] == 0
+    np.testing.assert_allclose(aug1[lost, :3], 0.0)   # moved to origin
+    att = aug1[:, 4] == 1
+    assert (aug1[att, 5] >= 0).all()                  # diff only on attenuated
+    np.testing.assert_allclose(aug1[~att, 5], 0.0)
+    # intensity scale preserved (input was 0..255)
+    assert aug1[:, 3].max() > 1.5
+    # viewer post-processing: filter label != 0
+    kept = aug1[aug1[:, 4] != 0]
+    comp, stats = l.augment_compact(cloud, 10.0, fixed_seed=True)
+    assert len(comp) == len(kept)
+    assert stats["num_lost"] == int(lost.sum())
+
+
+def test_lisa_normalized_input_stays_normalized(cloud):
+    l = LISA(dsd_points=64)
+    norm = cloud.copy()
+    norm[:, 3] /= 255.0
+    aug = l.augment(norm, 10.0, fixed_seed=True)
+    assert aug[:, 3].max() <= 1.0
+
+
+def test_lisa_snow_modes():
+    l_g = LISA(mode="gunn", dsd_points=64)
+    l_s = LISA(mode="sekhon", dsd_points=64)
+    d = np.array([0.5, 1.0])
+    assert not np.allclose(l_g.Nd(d, 2.0), l_s.Nd(d, 2.0))
+    # viewer pattern: alpha from a density curve over lisa.D
+    curve = l_g.Nd(l_g.D, 2.0)
+    assert abs(l_g.alpha(curve) - l_g.alpha(2.0)) < 1e-12
 
 
 def test_lisa_heavier_rain_more_perturbation(cloud):
     l = LISA(dsd_points=64)
-    _, light = l.augment(cloud, 1.0, fixed_seed=True)
-    _, heavy = l.augment(cloud, 50.0, fixed_seed=True)
+    _, light = l.augment_compact(cloud, 1.0, fixed_seed=True)
+    _, heavy = l.augment_compact(cloud, 50.0, fixed_seed=True)
     assert (
         heavy["num_lost"] + heavy["num_scattered"]
         > light["num_lost"] + light["num_scattered"]
