@@ -192,6 +192,17 @@ def simulate_fog(p: FogParameterSet, points, mask, key):
     )
 
 
+def simulate_fog_pc(p: FogParameterSet, pc: np.ndarray, noise: float = 10.0,
+                    seed: int = 0):
+    """Host-facing call matching the submodule's ``simulate_fog(p, pc,
+    noise)`` argument order (`pointcloud_viewer.py:2944`): returns
+    (augmented cloud, fog-scattered points, info dict)."""
+    aug, stats = FogAugmenter(
+        dataclasses.replace(p, noise=noise), seed=seed
+    )(pc)
+    return aug, aug[aug[:, 4] == 2.0], stats
+
+
 class FogAugmenter:
     """Host-facing wrapper mirroring ``simulate_fog(p, pc, noise)``."""
 

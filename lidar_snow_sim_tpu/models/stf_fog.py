@@ -63,6 +63,11 @@ class BetaRandomization:
         return beta * jnp.maximum(mod, 0.05)
 
 
+# drop-in alias matching the reference's (misspelled) class name
+# (`pointcloud_viewer.py:55`)
+BetaRadomization = BetaRandomization
+
+
 class StfFogResult(NamedTuple):
     points: jax.Array        # (N, 5), label col: 0 kept, 2 clutter
     keep: jax.Array

@@ -80,7 +80,27 @@ def test_fog_attenuates_kept_points(cloud):
     assert float(kept[:, 3].max()) < float(cloud[:, 3].max())
 
 
+def test_simulate_fog_pc_reference_signature(cloud):
+    """The submodule's simulate_fog(p, pc, noise) call shape
+    (`pointcloud_viewer.py:2944`)."""
+    from lidar_snow_sim_tpu.models.fog import simulate_fog_pc
+
+    aug, fog_pts, info = simulate_fog_pc(
+        FogParameterSet(alpha=0.06), cloud, noise=10.0
+    )
+    assert aug.shape[1] == 5
+    assert len(fog_pts) == info["num_scattered"]
+    assert (fog_pts[:, 4] == 2.0).all()
+
+
 # ---------------- STF fog ----------------
+
+
+def test_beta_radomization_alias():
+    """The reference's (misspelled) class name resolves."""
+    from lidar_snow_sim_tpu.models.stf_fog import BetaRadomization
+
+    assert BetaRadomization is BetaRandomization
 
 
 def test_beta_randomization_seeded_and_positive():
