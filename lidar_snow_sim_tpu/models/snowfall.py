@@ -568,25 +568,95 @@ def snowfall_augment_dense(
     c_int = s_int.reshape(n2)[ci]
 
     # --- phase C: sweep + pulse re-simulation on the compacted set ---
-    def pulse_chunk_fn(args):
-        (xyz_c, int_c, ok_c, a1_c, a2_c, d_c, v_c, mi, mx, fs, fo) = args
-        return _pulse_phase(
-            xyz_c, int_c, ok_c, a1_c, a2_c, d_c, v_c,
-            mi, mx, fs, fo, range_grid, cfg,
-        )
+    c_occ_valid = occ_valid[ci] & c_ok[:, None]
+    if use_pallas:
+        from lidar_snow_sim_tpu.ops.pallas_pulse import make_pallas_pulse_phase
 
-    pc_ = lambda a: a.reshape((cap // cfg.pulse_chunk, cfg.pulse_chunk)
-                              + a.shape[1:])
-    (nx, ni, lab, diff_c, bump_of) = jax.lax.map(
-        pulse_chunk_fn,
-        (
-            pc_(c_xyz), pc_(c_int), pc_(c_ok),
-            pc_(occ_a1[ci]), pc_(occ_a2[ci]), pc_(occ_dist[ci]),
-            pc_(occ_valid[ci] & c_ok[:, None]),
-            pc_(min_int_lut[c_ch]), pc_(max_int_lut[c_ch]),
-            pc_(fs_lut[c_ch]), pc_(fo_lut[c_ch]),
-        ),
-    )
+        ipm = float(cfg.intervals_per_meter)
+        c_tau = SPEED_OF_LIGHT * cfg.tau_h
+        # 64-point pulse blocks: the rank-sort's (blk, 2K+2, 2K+2)
+        # intermediates put blk=128 over the VMEM budget
+        pblk = 64
+        c_d = jnp.linalg.norm(c_xyz, axis=-1)
+        c_right, c_left = beam_limits(
+            c_xyz[:, 0], c_xyz[:, 1], cfg.beam_divergence_rad
+        )
+        c_max = max_int_lut[c_ch]
+        feats = jnp.stack([c_d, c_right, c_left, 0.9 * c_max], axis=-1)
+        c_a1 = occ_a1[ci]
+        c_a2 = occ_a2[ci]
+        c_rr = occ_dist[ci]
+        occ5 = jnp.stack(
+            [c_a1, c_a2, c_rr, c_occ_valid.astype(jnp.float32),
+             jnp.zeros_like(c_a1)],
+            axis=-1,
+        )                                                     # (cap, K, 5)
+        phase = (2.0 * jnp.pi / c_tau)
+        all_r = jnp.concatenate([c_rr, c_d[:, None]], axis=1)  # (cap, K+1)
+        trig = jnp.stack(
+            [jnp.cos(phase * all_r), jnp.sin(phase * all_r)], axis=-1
+        )
+        gph = phase * range_grid
+        run_pulse = make_pallas_pulse_phase(
+            blk=pblk, k_occ=k_occ, beam_rad=cfg.beam_divergence_rad,
+            ipm=ipm, c_tau=c_tau, xsi_r1=cfg.xsi_r1, xsi_r2=cfg.xsi_r2,
+            interpret=cfg.pallas_interpret,
+        )
+        pb = lambda a: a.reshape((cap // pblk, pblk) + a.shape[1:])
+        i_peak, peak_idx, touched_any, _rem = run_pulse(
+            pb(feats), pb(occ5), pb(trig), jnp.cos(gph), jnp.sin(gph)
+        )
+        i_peak = i_peak.reshape(cap)
+        peak_idx = peak_idx.reshape(cap)
+        touched_any = touched_any.reshape(cap)
+
+        # decision tail (simulation.py:151-192), elementwise in XLA
+        c_min = min_int_lut[c_ch]
+        c_fs = fs_lut[c_ch]
+        c_fo = fo_lut[c_ch]
+        d_max = peak_idx.astype(jnp.float32) / ipm - c_tau / 2
+        i_max = i_peak + c_max * c_fs * jnp.abs(
+            c_fo - (1 - d_max / cfg.lidar_range) ** 2
+        )
+        i_max = jnp.clip(i_max, c_min, c_max)
+        attenuated = jnp.abs(d_max - c_d) < cfg.range_tolerance
+        new_i = jnp.floor(i_max)
+        lab = jnp.where(
+            touched_any, jnp.where(attenuated, 1.0, 2.0), 0.0
+        )
+        scale_r = jnp.where(
+            touched_any & ~attenuated, d_max / jnp.maximum(c_d, 1e-12), 1.0
+        )
+        nx = c_xyz * scale_r[:, None]
+        ni = jnp.where(
+            touched_any, jnp.clip(new_i, c_min, c_max), c_int
+        )
+        diff_c = jnp.sum(
+            jnp.where(
+                touched_any & attenuated & c_ok, 0.9 * c_max - new_i, 0.0
+            )
+        )
+        bump_of = jnp.int32(0)  # bumps == occluders: can never overflow
+    else:
+        def pulse_chunk_fn(args):
+            (xyz_c, int_c, ok_c, a1_c, a2_c, d_c, v_c, mi, mx, fs, fo) = args
+            return _pulse_phase(
+                xyz_c, int_c, ok_c, a1_c, a2_c, d_c, v_c,
+                mi, mx, fs, fo, range_grid, cfg,
+            )
+
+        pc_ = lambda a: a.reshape((cap // cfg.pulse_chunk, cfg.pulse_chunk)
+                                  + a.shape[1:])
+        (nx, ni, lab, diff_c, bump_of) = jax.lax.map(
+            pulse_chunk_fn,
+            (
+                pc_(c_xyz), pc_(c_int), pc_(c_ok),
+                pc_(occ_a1[ci]), pc_(occ_a2[ci]), pc_(occ_dist[ci]),
+                pc_(c_occ_valid),
+                pc_(min_int_lut[c_ch]), pc_(max_int_lut[c_ch]),
+                pc_(fs_lut[c_ch]), pc_(fo_lut[c_ch]),
+            ),
+        )
     nx = nx.reshape(cap, 3)
     ni = ni.reshape(cap)
     lab = lab.reshape(cap)

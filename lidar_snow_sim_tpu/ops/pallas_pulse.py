@@ -1,0 +1,228 @@
+"""Fused sweep + pulse-resimulation Pallas kernel (dense-assembly phase C).
+
+Per compacted occluded point this fuses:
+1. the first-claim angular sweep (ops/sweep.py semantics) with a SORT-FREE
+   rank-based ordering of the 2K+2 interval endpoints (O(K^2) VPU compares
+   replace the XLA bitonic sort), and
+2. the received-pulse waveform accumulation + argmax over the 1230-bin
+   quantized grid (ops/waveform.py semantics, angle-addition form).
+
+Mosaic has no sin/cos lowering here either, so the per-bump phase factors
+cos/sin(2 pi r / ctau) and the xsi ramp are computed OUTSIDE in XLA and
+passed as inputs; the kernel is transcendental-free.
+
+Bump set = every occluder with nonzero claimed ratio plus the hard target —
+i.e. max_bumps == max_occluders semantics. That is exactly the reference
+pipeline whenever bump_overflow would be zero (the only state the host
+wrapper accepts); configs with max_bumps < max_occluders that would overflow
+raise in either path.
+
+Outputs per point: peak value, peak bin index, touched flag (any nonzero
+claim). The label/intensity decision tail stays in XLA (cheap elementwise).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TWO_PI = 2.0 * math.pi
+_BIG = 3.0e38
+
+
+def _kernel(
+    feat_ref,      # (1, blk, F) point features (see pulse_features)
+    occ_ref,       # (1, blk, K, 5) occluders: a1, a2, dist, valid, ...
+    trig_ref,      # (1, blk, K + 1, 2) cos/sin(2 pi r / ctau) per bump + tgt
+    cosg_ref,      # (1, M) grid table cos(2 pi R / ctau)
+    sing_ref,      # (1, M) grid table sin
+    peak_ref,      # (1, 1, blk) f32 peak value
+    idx_ref,       # (1, 1, blk) i32 peak bin
+    touched_ref,   # (1, 1, blk) f32 0/1
+    remainder_ref, # (1, 1, blk) f32 unclaimed ratio
+    *,
+    blk: int,
+    k_occ: int,
+    beam_rad: float,
+    ipm: float,
+    c_tau: float,
+    amp_const: float,
+    xsi_r1: float,
+    xsi_r2: float,
+):
+    feat = feat_ref[0]                      # (blk, F)
+    d_orig = feat[:, 0:1]
+    right = feat[:, 1:2]
+    left = feat[:, 2:3]
+    amp_scale = feat[:, 3:4]                # 0.9 * max_intensity per point
+
+    occ = occ_ref[0]                        # (blk, K, 5)
+    a1 = occ[:, :, 0]
+    a2 = occ[:, :, 1]
+    rr = occ[:, :, 2]
+    valid = occ[:, :, 3] > 0.5
+
+    # ---- sweep (ops/sweep.occlusion_sweep semantics) ----
+    wrapped = right > left
+    right_u = jnp.where(wrapped, right - TWO_PI, right)
+    a1 = jnp.where(wrapped & (a1 > a2), a1 - TWO_PI, a1)
+    a1 = jnp.where(valid, a1, left)
+    a2 = jnp.where(valid, a2, left)
+
+    m_e = 2 * k_occ + 2
+    endpoints = jnp.concatenate([right_u, left, a1, a2], axis=1)  # (blk, M_e)
+
+    # iterative extract-min sweep: walk the endpoints in ascending order,
+    # claiming each elementary sub-interval for its first (nearest) covering
+    # occluder. O(M_e) small (blk, M)/(blk, K) steps — the O(M^2) rank-sort
+    # formulation blew Mosaic's 16 MB scoped-VMEM budget.
+    col_e = jax.lax.broadcasted_iota(jnp.int32, (blk, m_e), 1)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
+
+    def sweep_body(k, carry):
+        score, prev, claimed, unclaimed = carry
+        cur = jnp.min(score, axis=1, keepdims=True)             # (blk, 1)
+        first = jnp.min(
+            jnp.where(score == cur, col_e, m_e), axis=1, keepdims=True
+        )
+        width = jnp.where(k > 0, cur - prev, 0.0)               # (blk, 1)
+        mid = 0.5 * (cur + prev)
+        cover_k = (a1 <= mid) & (mid <= a2) & valid             # (blk, K)
+        widx = jnp.min(
+            jnp.where(cover_k, col_k, k_occ), axis=1, keepdims=True
+        )
+        claimed = claimed + jnp.where(col_k == widx, width, 0.0)
+        unclaimed = unclaimed + jnp.where(widx >= k_occ, width, 0.0)
+        score = jnp.where(col_e == first, _BIG, score)
+        return score, cur, claimed, unclaimed
+
+    _, _, claimed, unclaimed = jax.lax.fori_loop(
+        0, m_e, sweep_body,
+        (
+            endpoints,
+            jnp.zeros((blk, 1), jnp.float32),
+            jnp.zeros((blk, k_occ), jnp.float32),
+            jnp.zeros((blk, 1), jnp.float32),
+        ),
+    )
+    unclaimed = unclaimed[:, 0]
+
+    ratio = jnp.clip(claimed / beam_rad, 0.0, 1.0)
+    remainder = jnp.clip(unclaimed / beam_rad, 0.0, 1.0)
+    touched = jnp.any(claimed > 0.0, axis=1)
+    touched_ref[0, 0, :] = touched.astype(jnp.float32)
+    remainder_ref[0, 0, :] = remainder
+
+    # ---- waveform accumulation + argmax (ops/waveform semantics) ----
+    def xsi(r):
+        return jnp.clip((r - xsi_r1) / (xsi_r2 - xsi_r1), 0.0, 1.0)
+
+    trig = trig_ref[0]                                          # (blk, K+1, 2)
+    cos_g = cosg_ref[0][None, :]                                # (1, M)
+    sin_g = sing_ref[0][None, :]
+    m_bins = cos_g.shape[1]
+    # iota must be integer-typed in Mosaic; cast for the window compare
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, m_bins), 1).astype(
+        jnp.float32
+    )
+
+    # all K+1 bump parameters as (blk, K+1) so the accumulation can be a
+    # rolled fori_loop (an unrolled 25-step loop blew up Mosaic compile time)
+    rr_all = jnp.concatenate([rr, d_orig], axis=1)              # (blk, K+1)
+    share = jnp.concatenate([ratio, remainder[:, None]], axis=1)
+    # share == 0 zeroes the bump; clamp r so 1/r^2 of filler occluders
+    # (dist ~ 3e38) cannot produce 0 * inf = NaN
+    r_amp = jnp.clip(rr_all, 1e-6, 1e6)
+    amp_all = amp_scale * share * xsi(r_amp) / (r_amp * r_amp)
+
+    # Mosaic has no value dynamic_slice: select bump b's column with a
+    # one-hot reduction over the small (blk, K+1) axis instead
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ + 1), 1)
+    cos_b_all = trig[:, :, 0]
+    sin_b_all = trig[:, :, 1]
+
+    def wave_body(b, wave):
+        sel = bcol == b
+        pick = lambda v: jnp.sum(
+            jnp.where(sel, v, 0.0), axis=1, keepdims=True
+        )
+        r_b = pick(rr_all)                                      # (blk, 1)
+        amp_b = pick(amp_all)
+        cb = pick(cos_b_all)
+        sb = pick(sin_b_all)
+        window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
+        pulse = 0.5 * (1.0 - (cos_g * cb + sin_g * sb))
+        return wave + jnp.where(window, amp_b * pulse, 0.0)
+
+    wave = jax.lax.fori_loop(
+        0, k_occ + 1, wave_body, jnp.zeros((blk, m_bins), jnp.float32)
+    )
+
+    peak = jnp.max(wave, axis=1, keepdims=True)                 # (blk, 1)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (blk, m_bins), 1)
+    first = jnp.min(
+        jnp.where(wave == peak, colm, m_bins), axis=1
+    )
+    peak_ref[0, 0, :] = peak[:, 0]
+    idx_ref[0, 0, :] = first
+
+    del amp_const  # folded into amp_scale by the caller
+
+
+def make_pallas_pulse_phase(
+    *, blk: int, k_occ: int, beam_rad: float, ipm: float, c_tau: float,
+    xsi_r1: float, xsi_r2: float, interpret: bool = False,
+):
+    """Build the fused phase-C callable for fixed static shapes.
+
+    Takes (feats (n_blk, blk, 4), occ (n_blk, blk, K, 5),
+    trig (n_blk, blk, K+1, 2), cos_g (M,), sin_g (M,)) and returns
+    (peak, idx, touched, remainder) each (n_blk, blk).
+    """
+    kernel = functools.partial(
+        _kernel, blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm,
+        c_tau=c_tau, amp_const=0.0, xsi_r1=xsi_r1, xsi_r2=xsi_r2,
+    )
+
+    def run(feats, occ, trig, cos_g, sin_g):
+        n_blk = feats.shape[0]
+        m_bins = cos_g.shape[0]
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blk,),
+            in_specs=[
+                pl.BlockSpec((1, blk, feats.shape[2]),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, k_occ, 5),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, blk, k_occ + 1, 2),
+                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m_bins), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m_bins), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, blk), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] * 4,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blk, 1, blk), jnp.float32),
+                jax.ShapeDtypeStruct((n_blk, 1, blk), jnp.int32),
+                jax.ShapeDtypeStruct((n_blk, 1, blk), jnp.float32),
+                jax.ShapeDtypeStruct((n_blk, 1, blk), jnp.float32),
+            ],
+            interpret=interpret,
+        )(feats, occ, trig, cos_g[None, :], sin_g[None, :])
+        peak, idx, touched, remainder = out
+        return (
+            peak[:, 0, :], idx[:, 0, :], touched[:, 0, :] > 0.5,
+            remainder[:, 0, :],
+        )
+
+    return run
