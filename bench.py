@@ -109,48 +109,56 @@ def main():
     # bank/calib enter as ARGUMENTS, not closure captures: captured device
     # arrays are embedded as MLIR constants, which forces a device->host
     # fetch during lowering (fails over the remote-TPU tunnel)
-    step_ = jax.jit(
-        jax.vmap(
-            lambda p, m, o, k, b, ca: snowfall_augment(p, m, b, ca, o, k, cfg),
-            in_axes=(0, 0, 0, 0, None, None),
-        )
+    vstep = jax.vmap(
+        lambda p, m, o, k, b, ca: snowfall_augment(p, m, b, ca, o, k, cfg),
+        in_axes=(0, 0, 0, 0, None, None),
     )
-    step = lambda p, m, o, k: step_(p, m, o, k, bank, calib_arrays)
 
-    # compile + warm up
-    out = step(points, mask, orders, keys)
-    jax.block_until_ready(out)
+    # Timing methodology for the remote-TPU tunnel: host-side loops are
+    # unreliable here (block_until_ready does not reliably block; repeated
+    # identical dispatches can hit an execution cache; every eager op pays
+    # RPC latency). So the ENTIRE measurement runs on device: one jitted
+    # lax.scan chains I steps through a value-preserving data dependency,
+    # and the per-step time is the SLOPE between a short and a long chain,
+    # which cancels dispatch/transfer constants.
+    def chain(points, mask, orders, keys_stacked, b, ca):
+        def body(pts, keys_i):
+            out = vstep(pts, mask, orders, keys_i, b, ca)
+            nxt = points + out.avg_intensity_diff.sum() * 0.0
+            return nxt, (out.num_attenuated,
+                         out.window_overflow + out.occluder_overflow
+                         + out.bump_overflow + out.channel_overflow
+                         + out.compact_overflow)
+        _, (nas, ovf) = jax.lax.scan(body, points, keys_stacked)
+        return nas, ovf
+
+    chain_j = jax.jit(chain)
+    n_iters = max(int(os.environ.get("BENCH_ITERS", "10")), 2)
+    short, long_ = 2, 2 + n_iters
+
+    def run_chain(n):
+        ks = jnp.stack(
+            [jax.random.split(jax.random.PRNGKey(1000 + i), BATCH)
+             for i in range(n)]
+        )
+        t0 = time.time()
+        nas, ovf = chain_j(points, mask, orders, ks, bank, calib_arrays)
+        nas = np.asarray(nas)   # value fetch forces completion
+        ovf = np.asarray(ovf)
+        return time.time() - t0, nas, ovf
+
+    run_chain(short)            # compile both shapes
+    run_chain(long_)
     t_compiled = time.time()
-
-    # Steady-state throughput: N steps chained by a (value-preserving) data
-    # dependency so the device must execute them sequentially, timed around
-    # ONE final value fetch. Per-step sync would add the remote-TPU tunnel's
-    # RPC latency to every step, and un-chained repeats of identical
-    # dispatches can be served from an execution cache — both distort timing.
-    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
-    iter_keys = [
-        jax.random.split(jax.random.PRNGKey(1000 + i), BATCH)
-        for i in range(n_iters)
-    ]
-    t0 = time.time()
-    pts_i = points
-    for i in range(n_iters):
-        out = step(pts_i, mask, orders, iter_keys[i])
-        # zero-valued dependency on the previous step's scalar output
-        pts_i = points + (out.avg_intensity_diff.sum() * 0.0)
-    _ = np.asarray(out.num_attenuated)  # forces completion of the chain
-    dt = (time.time() - t0) / n_iters
+    t_short, _, _ = run_chain(short)
+    t_long, nas, ovf = run_chain(long_)
+    out_overflow = int(ovf.sum())
+    dt = (t_long - t_short) / (long_ - short)
     scans_per_sec = BATCH / dt
     points_per_sec = scans_per_sec * len(pc)
 
-    # sanity: capacities honored
-    overflow = (
-        int(np.asarray(out.window_overflow).sum())
-        + int(np.asarray(out.occluder_overflow).sum())
-        + int(np.asarray(out.bump_overflow).sum())
-        + int(np.asarray(out.channel_overflow).sum())
-        + int(np.asarray(out.compact_overflow).sum())
-    )
+    # sanity: capacities honored (summed across the whole long chain)
+    overflow = out_overflow
 
     # CPU oracle baseline (literal reference semantics), subsampled + scaled
     from lidar_snow_sim_tpu.oracle.snowfall import augment as augment_oracle
