@@ -121,6 +121,35 @@ def test_pallas_phase_matches_window(setup):
     assert int(rw.num_attenuated) == int(rp.num_attenuated)
 
 
+def test_dense_full_360_scan(setup):
+    """Full-360 scans cross the +-pi azimuth seam; the signed-azimuth sort
+    plus the bank's +-2pi pad entries must keep dense == window."""
+    calib, _, bank, order = setup
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    pc = synthetic_scan(n_azimuth=100, fov_deg=360.0, seed=4, calib=calib)
+    pc = pc[np.argsort(pc[:, 4], kind="stable")][:8192]
+    setup360 = (calib, pc, bank, order)
+    base = dict(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=48, point_chunk=256,
+    )
+    rw = _run(setup360, SnowfallConfig(**base, assembly="window"))
+    rd = _run(
+        setup360,
+        SnowfallConfig(
+            **base, assembly="dense", channel_capacity=128,
+            block_points=16, slice_width=384, chunk_group=8,
+            use_pallas=True, pallas_interpret=True,
+        ),
+    )
+    assert int(rd.window_overflow) == 0
+    assert int(rd.channel_overflow) == 0
+    n = len(pc)
+    np.testing.assert_array_equal(rw.points[:n], rd.points[:n])
+    np.testing.assert_array_equal(rw.keep[:n], rd.keep[:n])
+
+
 def test_dense_compact_overflow_detected(setup):
     """compact_capacity below the occluded-point count must be counted."""
     cfg = SnowfallConfig(
