@@ -80,6 +80,7 @@ def main():
         max_bumps=16,
         point_chunk=2048,
         assembly=os.environ.get("BENCH_ASSEMBLY", "dense"),
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         channel_capacity=1024,
         block_points=128,
         slice_width=1152,

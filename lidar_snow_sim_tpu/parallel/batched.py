@@ -13,10 +13,9 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 from lidar_snow_sim_tpu.config import SnowfallConfig, WetGroundConfig
-from lidar_snow_sim_tpu.models.snowfall import SnowfallResult, snowfall_augment
+from lidar_snow_sim_tpu.models.snowfall import snowfall_augment
 from lidar_snow_sim_tpu.models.wet_ground import wet_ground_augment
 from lidar_snow_sim_tpu.parallel.mesh import batch_shardings
 
@@ -61,7 +60,17 @@ def batched_step(
 
 
 def make_sharded_step(mesh, snow_cfg, wet_cfg=None, donate: bool = False):
-    """jit `batched_step` with (data, beam) shardings over `mesh`."""
+    """jit `batched_step` with (data, beam) shardings over `mesh`.
+
+    With a sharded 'beam' (points) axis the Pallas kernels are disabled —
+    GSPMD cannot partition a pallas_call across the point axis; the XLA
+    dense path partitions cleanly. Pure data-parallel meshes (beam=1) keep
+    the kernels: each device runs its own whole scans.
+    """
+    import dataclasses
+
+    if mesh.shape.get("beam", 1) > 1 and snow_cfg.use_pallas:
+        snow_cfg = dataclasses.replace(snow_cfg, use_pallas=False)
     pts_s, mask_s, rep = batch_shardings(mesh)
 
     fn = functools.partial(
