@@ -728,6 +728,37 @@ class SnowfallAugmenter:
         self._calib_arrays = calib_device_arrays(self.calib)
         self._bank_dev = jax.device_put(self.bank)
 
+    def _grow_for_overflow(self, name: str) -> bool:
+        """Raise the capacity behind an overflow counter (dense assembly);
+        returns False when nothing can grow further."""
+        cfg = self.cfg
+        k_ext = int(self.bank.angle.shape[1])
+        if name == "window_overflow":
+            if cfg.assembly != "dense" or cfg.slice_width >= k_ext:
+                return False
+            new = dict(slice_width=min(cfg.slice_width * 2, k_ext))
+        elif name == "occluder_overflow":
+            new = dict(
+                max_occluders=cfg.max_occluders * 2,
+                max_bumps=max(cfg.max_bumps, cfg.max_occluders * 2),
+            )
+        elif name == "bump_overflow":
+            new = dict(max_bumps=min(cfg.max_bumps * 2, cfg.max_occluders))
+            if new["max_bumps"] == cfg.max_bumps:
+                return False
+        elif name == "channel_overflow":
+            new = dict(channel_capacity=cfg.channel_capacity * 2)
+        elif name == "compact_overflow":
+            cap = cfg.compact_capacity or max(
+                self.calib.num_lasers * cfg.channel_capacity // 4,
+                cfg.pulse_chunk,
+            )
+            new = dict(compact_capacity=cap * 2)
+        else:
+            return False
+        self.cfg = dataclasses.replace(cfg, **new)
+        return True
+
     def __call__(self, pc, order=None, shuffle: bool = True):
         from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
 
@@ -737,28 +768,49 @@ class SnowfallAugmenter:
             if shuffle:
                 order = np.random.permutation(order)
         padded = pad_cloud(np.asarray(pc), self.cfg.max_points)
-        res = self._fn(
+        args = (
             jnp.asarray(padded.points),
             jnp.asarray(padded.mask),
             self._bank_dev,
             self._calib_arrays,
             jnp.asarray(order, dtype=jnp.int32),
             key,
-            self.cfg,
         )
-        res = jax.device_get(res)
-        for name in (
+        counters = (
             "window_overflow",
             "occluder_overflow",
             "bump_overflow",
             "channel_overflow",
             "compact_overflow",
-        ):
-            v = int(getattr(res, name))
-            if v:
+        )
+        # self-tuning capacities: overflow is counted, the offending
+        # capacity doubles, and the scan reruns (a recompile) — results are
+        # never silently truncated and configs never need hand-tuning
+        for _attempt in range(4):
+            res = jax.device_get(self._fn(*args, self.cfg))
+            overflowed = [n for n in counters if int(getattr(res, n))]
+            if not overflowed:
+                break
+            import logging
+
+            grew = all(self._grow_for_overflow(n) for n in overflowed)
+            logging.getLogger(__name__).warning(
+                "snowfall capacities grew after %s: %s",
+                {n: int(getattr(res, n)) for n in overflowed},
+                {k: getattr(self.cfg, k) for k in (
+                    "slice_width", "max_occluders", "max_bumps",
+                    "channel_capacity", "compact_capacity")},
+            )
+            if not grew:
                 raise RuntimeError(
-                    f"{name}={v}: raise the corresponding SnowfallConfig capacity"
+                    f"capacity overflow not auto-resolvable: "
+                    f"{[(n, int(getattr(res, n))) for n in overflowed]}"
                 )
+        else:
+            raise RuntimeError(
+                "capacity overflows persisted after growth: "
+                f"{[(n, int(getattr(res, n))) for n in overflowed]}"
+            )
         stats = (
             int(res.num_attenuated),
             int(res.num_removed),
