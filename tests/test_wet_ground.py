@@ -76,6 +76,36 @@ def test_wet_ground_parity_vs_oracle(scan):
         assert np.median(np.abs(a[: len(b)] - b[: len(a)])) < 2.0
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(estimation_method="poly"),
+        dict(flat_earth=True),
+        dict(water_height=0.0008, pavement_depth=0.001),  # viewer defaults
+        dict(replace=False),
+    ],
+    ids=["poly", "flat_earth", "viewer_depths", "no_replace"],
+)
+def test_wet_ground_variants_match_oracle_counts(scan, kwargs):
+    """Non-default estimator/geometry options track the oracle's point
+    counts and intensity distribution."""
+    from lidar_snow_sim_tpu.config import WetGroundConfig
+
+    pc = scan
+    want = oracle_aug(pc.astype(np.float64), plane=PLANE, **kwargs)
+    aug = WetGroundAugmenter(
+        cfg=WetGroundConfig(**kwargs),
+        max_points=1 << int(np.ceil(np.log2(len(pc)))),
+    )
+    got = aug(pc, plane=PLANE)
+    assert abs(len(got) - len(want)) / len(want) < 0.03
+    gw = np.sort(want[want[:, 4] == 1.0][:, 3])
+    gg = np.sort(got[got[:, 4] == 1.0][:, 3])
+    n = min(len(gw), len(gg)) - 10
+    if n > 50:
+        assert np.median(np.abs(gw[:n] - gg[:n])) < 2.0
+
+
 def test_bailout_below_1000_ground_points():
     rng = np.random.default_rng(0)
     pc = np.column_stack(
