@@ -44,7 +44,8 @@ def main(argv=None):
     ap.add_argument("--min-height", type=float, default=None)
     ap.add_argument("--bev", default=None, help="write a BEV PNG here")
     ap.add_argument("--bev-color", default="label",
-                    choices=("depth", "intensity", "label"))
+                    choices=("depth", "intensity", "label", "channel",
+                             "height"))
     ap.add_argument("--labels", default=None,
                     help="KITTI-format GT/prediction label file to overlay")
     ap.add_argument("--seed", type=int, default=0)

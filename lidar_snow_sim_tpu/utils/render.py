@@ -65,6 +65,10 @@ def bev_image(
         colors = _turbo_ish(vals)
     elif color == "intensity":
         colors = _turbo_ish(pointcloud[:, 3] / 255.0)
+    elif color == "channel":
+        colors = _turbo_ish((pointcloud[:, 4] % 64.0) / 63.0)
+    elif color == "height":
+        colors = _turbo_ish((pointcloud[:, 2] + 2.5) / 5.0)
     elif color == "label":
         labels = np.clip(pointcloud[:, 4].astype(np.int64), 0, 2)
         colors = _LABEL_COLORS[labels]

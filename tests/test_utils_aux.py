@@ -105,7 +105,7 @@ def test_bev_image_and_stats():
          [-30.0, -5.0, 0.0, 200, 2]],
         np.float32,
     )
-    for color in ("depth", "intensity", "label"):
+    for color in ("depth", "intensity", "label", "channel", "height"):
         img = bev_image(pc, color=color, resolution=2)
         assert img.shape == (2 * 2 * 15, 2 * 2 * 80, 3)
         assert img.sum() > 0  # points landed in bounds
