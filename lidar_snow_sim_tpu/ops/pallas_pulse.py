@@ -101,6 +101,9 @@ def _kernel(
         score = jnp.where(col_e == first, _BIG, score)
         return score, cur, claimed, unclaimed
 
+    # full m_e trips: invalid occluders' endpoints collapse onto `left` and
+    # sit MID-ORDER, so truncating the walk would also drop real endpoints
+    # beyond `left` (unclipped interval overhangs)
     _, _, claimed, unclaimed = jax.lax.fori_loop(
         0, m_e, sweep_body,
         (
@@ -146,22 +149,32 @@ def _kernel(
     cos_b_all = trig[:, :, 0]
     sin_b_all = trig[:, :, 1]
 
+    def bump_wave(r_b, amp_b, cb, sb):
+        window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
+        pulse = 0.5 * (1.0 - (cos_g * cb + sin_g * sb))
+        return jnp.where(window, amp_b * pulse, 0.0)
+
+    # hard-target bump (index K) unconditionally
+    wave0 = bump_wave(
+        rr_all[:, k_occ:], amp_all[:, k_occ:],
+        cos_b_all[:, k_occ:], sin_b_all[:, k_occ:],
+    )
+
     def wave_body(b, wave):
         sel = bcol == b
         pick = lambda v: jnp.sum(
             jnp.where(sel, v, 0.0), axis=1, keepdims=True
         )
-        r_b = pick(rr_all)                                      # (blk, 1)
-        amp_b = pick(amp_all)
-        cb = pick(cos_b_all)
-        sb = pick(sin_b_all)
-        window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
-        pulse = 0.5 * (1.0 - (cos_g * cb + sin_g * sb))
-        return wave + jnp.where(window, amp_b * pulse, 0.0)
+        return wave + bump_wave(
+            pick(rr_all), pick(amp_all), pick(cos_b_all), pick(sin_b_all)
+        )
 
-    wave = jax.lax.fori_loop(
-        0, k_occ + 1, wave_body, jnp.zeros((blk, m_bins), jnp.float32)
-    )
+    # occluder bumps beyond the block's last active one contribute zero for
+    # every point (amp == 0), so the loop stops there — EXACT, and typically
+    # ~3 trips instead of K
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
+    last_active = jnp.max(jnp.where(ratio > 0.0, kcol + 1, 0))
+    wave = jax.lax.fori_loop(0, last_active, wave_body, wave0)
 
     peak = jnp.max(wave, axis=1, keepdims=True)                 # (blk, 1)
     colm = jax.lax.broadcasted_iota(jnp.int32, (blk, m_bins), 1)
@@ -217,6 +230,11 @@ def make_pallas_pulse_phase(
                 jax.ShapeDtypeStruct((n_blk, 1, blk), jnp.float32),
                 jax.ShapeDtypeStruct((n_blk, 1, blk), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                # ~30 MB live set at blk=256 (wave + window + sweep state);
+                # the default 16 MB scoped budget is for small kernels
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(feats, occ, trig, cos_g[None, :], sin_g[None, :])
         peak, idx, touched, remainder = out
