@@ -81,16 +81,13 @@ def _kernel(
     # claiming each elementary sub-interval for its first (nearest) covering
     # occluder. O(M_e) small (blk, M)/(blk, K) steps — the O(M^2) rank-sort
     # formulation blew Mosaic's 16 MB scoped-VMEM budget.
-    col_e = jax.lax.broadcasted_iota(jnp.int32, (blk, m_e), 1)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
 
     def sweep_body(k, carry):
         score, prev, claimed, unclaimed = carry
         cur = jnp.min(score, axis=1, keepdims=True)             # (blk, 1)
-        first = jnp.min(
-            jnp.where(score == cur, col_e, m_e), axis=1, keepdims=True
-        )
-        width = jnp.where(k > 0, cur - prev, 0.0)               # (blk, 1)
+        live = cur < _BIG / 2                                   # row not done
+        width = jnp.where((k > 0) & live, cur - prev, 0.0)      # (blk, 1)
         mid = 0.5 * (cur + prev)
         cover_k = (a1 <= mid) & (mid <= a2) & valid             # (blk, K)
         widx = jnp.min(
@@ -98,14 +95,19 @@ def _kernel(
         )
         claimed = claimed + jnp.where(col_k == widx, width, 0.0)
         unclaimed = unclaimed + jnp.where(widx >= k_occ, width, 0.0)
-        score = jnp.where(col_e == first, _BIG, score)
-        return score, cur, claimed, unclaimed
+        # retire ALL copies of the current value: duplicate endpoints form
+        # zero-width sub-intervals that claim nothing, so one visit per
+        # DISTINCT value is exact — and caps the trips needed below
+        score = jnp.where(score == cur, _BIG, score)
+        prev = jnp.where(live, cur, prev)
+        return score, prev, claimed, unclaimed
 
-    # full m_e trips: invalid occluders' endpoints collapse onto `left` and
-    # sit MID-ORDER, so truncating the walk would also drop real endpoints
-    # beyond `left` (unclipped interval overhangs)
+    # distinct endpoint values <= 2 * (block max valid occluders) + 2;
+    # +1 because trip 0 only primes `prev`
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)          # (blk,)
+    trips = jnp.minimum(2 * jnp.max(n_valid) + 3, m_e)
     _, _, claimed, unclaimed = jax.lax.fori_loop(
-        0, m_e, sweep_body,
+        0, trips, sweep_body,
         (
             endpoints,
             jnp.zeros((blk, 1), jnp.float32),
