@@ -787,7 +787,7 @@ class SnowfallAugmenter:
         # self-tuning capacities: overflow is counted, the offending
         # capacity doubles, and the scan reruns (a recompile) — results are
         # never silently truncated and configs never need hand-tuning
-        for _attempt in range(4):
+        for _attempt in range(8):
             res = jax.device_get(self._fn(*args, self.cfg))
             overflowed = [n for n in counters if int(getattr(res, n))]
             if not overflowed:

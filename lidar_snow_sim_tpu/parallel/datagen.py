@@ -89,27 +89,63 @@ def run_snowfall_datagen(
     bank_dev = jax.device_put(bank)
     rng = np.random.default_rng(seed)
 
-    if mesh is not None:
-        if batch % mesh.shape["data"] != 0:
-            raise ValueError(
-                f"batch {batch} not divisible by mesh data axis "
-                f"{mesh.shape['data']}"
+    def build_step(cfg):
+        if mesh is not None:
+            if batch % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch {batch} not divisible by mesh data axis "
+                    f"{mesh.shape['data']}"
+                )
+            sharded = make_sharded_step(mesh, cfg, wet_cfg=wet_cfg)
+            return lambda p, m, o, k: sharded(
+                p, m, bank_dev, calib_arrays, o, k
             )
-        sharded = make_sharded_step(mesh, snow_cfg, wet_cfg=wet_cfg)
-        step = lambda p, m, o, k: sharded(p, m, bank_dev, calib_arrays, o, k)
-    else:
         import functools
 
-        step = jax.jit(
-            functools.partial(
-                batched_step, snow_cfg=snow_cfg, wet_cfg=wet_cfg
-            )
+        jitted = jax.jit(
+            functools.partial(batched_step, snow_cfg=cfg, wet_cfg=wet_cfg)
         )
-        step = functools.partial(
-            step, bank=bank_dev, calib_arrays=calib_arrays
+        return lambda p, m, o, k: jitted(
+            p, m, bank=bank_dev, calib_arrays=calib_arrays, orders=o, keys=k
         )
-        _jit = step
-        step = lambda p, m, o, k: _jit(p, m, orders=o, keys=k)
+
+    step = build_step(snow_cfg)
+
+    _OVF = (
+        "window_overflow", "occluder_overflow", "bump_overflow",
+        "channel_overflow", "compact_overflow",
+    )
+    k_ext = int(np.asarray(bank.angle).shape[1])
+
+    def grow_cfg(cfg, snow_res):
+        """Double capacities behind any overflowed counter; None if stuck."""
+        import dataclasses
+
+        new = {}
+        for name in _OVF:
+            if not int(np.asarray(getattr(snow_res, name)).sum()):
+                continue
+            if name == "window_overflow" and cfg.assembly == "dense":
+                if cfg.slice_width >= k_ext:
+                    return None
+                new["slice_width"] = min(cfg.slice_width * 2, k_ext)
+            elif name == "occluder_overflow":
+                new["max_occluders"] = cfg.max_occluders * 2
+                new["max_bumps"] = max(cfg.max_bumps, cfg.max_occluders * 2)
+            elif name == "bump_overflow":
+                if cfg.max_bumps >= cfg.max_occluders:
+                    return None
+                new["max_bumps"] = min(cfg.max_bumps * 2, cfg.max_occluders)
+            elif name == "channel_overflow":
+                new["channel_capacity"] = cfg.channel_capacity * 2
+            elif name == "compact_overflow":
+                cap = cfg.compact_capacity or max(
+                    64 * cfg.channel_capacity // 4, cfg.pulse_chunk
+                )
+                new["compact_capacity"] = cap * 2
+            else:
+                return None
+        return dataclasses.replace(cfg, **new) if new else None
 
     todo = []
     for sid in sample_ids:
@@ -173,14 +209,34 @@ def run_snowfall_datagen(
         ).astype(np.int32)
         keys = jax.random.split(jax.random.PRNGKey(rng.integers(2**31)), batch)
 
-        snow, wet = jax.device_get(
-            step(
-                np.stack(pts_list),
-                np.stack(mask_list),
-                np.asarray(orders),
-                keys,
-            )
+        batch_args = (
+            np.stack(pts_list), np.stack(mask_list), np.asarray(orders), keys,
         )
+        for _attempt in range(8):
+            snow, wet = jax.device_get(step(*batch_args))
+            if not any(
+                int(np.asarray(getattr(snow, n)).sum()) for n in _OVF
+            ):
+                break
+            # capacities grow and the batch reruns: outputs are never
+            # silently truncated (same contract as SnowfallAugmenter)
+            grown = grow_cfg(snow_cfg, snow)
+            if grown is None:
+                raise RuntimeError(
+                    "datagen capacity overflow not auto-resolvable: "
+                    + str({n: int(np.asarray(getattr(snow, n)).sum())
+                           for n in _OVF})
+                )
+            logger.warning(
+                "datagen capacities grew: %s",
+                {k: getattr(grown, k) for k in (
+                    "slice_width", "max_occluders", "max_bumps",
+                    "channel_capacity", "compact_capacity")},
+            )
+            snow_cfg = grown
+            step = build_step(snow_cfg)
+        else:
+            raise RuntimeError("datagen capacity overflows persisted")
         res = wet if wet is not None else snow
         for j, (sid, out_path, n_in) in enumerate(ids):
             aug = res.points[j][res.keep[j]]

@@ -106,9 +106,15 @@ def main(argv=None):
     fov = None if args.no_fov_filter else (
         lambda xyz: np.asarray(camera_fov_mask(xyz, cam))
     )
+    pch = max(args.max_points // 64, 256)
     cfg = SnowfallConfig(
         max_points=args.max_points, window_size=args.window_size,
-        wide_capacity=128, max_occluders=64, max_bumps=32, point_chunk=2048,
+        wide_capacity=128, max_occluders=32, max_bumps=32, point_chunk=2048,
+        # dense + Pallas fast path; capacities self-tune on overflow
+        assembly="dense",
+        channel_capacity=pch,
+        block_points=max(min(128, pch // 8), 32),
+        slice_width=1536,
     )
 
     wet_cfg = WetGroundConfig(replace=False) if args.wet else None

@@ -117,6 +117,39 @@ def test_snow_wet_datagen(tmp_path, calib, bank, small_cfg):
     assert manifest["stats"]["frames_done"] == 1
 
 
+def test_datagen_auto_grows_capacities(tmp_path, calib, bank, small_cfg):
+    """Undersized capacities must self-tune (rerun with doubled caps), not
+    silently truncate."""
+    import dataclasses
+
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    tiny = dataclasses.replace(
+        small_cfg, assembly="dense", channel_capacity=64, block_points=16,
+        slice_width=16, chunk_group=16, compact_capacity=512, pulse_chunk=512,
+    )
+    scans = {"f0": synthetic_scan(n_azimuth=60, seed=0, calib=calib)[:4096]}
+    out = tmp_path / "grown"
+    s = run_snowfall_datagen(
+        ["f0"], lambda sid: scans[sid], out, bank, calib, tiny,
+        batch=1, seed=0, shuffle_channels=False,
+    )
+    assert s.frames_done == 1
+    aug = np.fromfile(out / "f0.bin", np.float32).reshape(-1, 5)
+    # compare against a comfortably-sized run: identical output proves the
+    # growth loop converged to full coverage
+    ok = tmp_path / "ok"
+    s2 = run_snowfall_datagen(
+        ["f0"], lambda sid: scans[sid], ok, bank, calib,
+        dataclasses.replace(small_cfg, assembly="dense", channel_capacity=128,
+                            block_points=16, slice_width=512, chunk_group=16),
+        batch=1, seed=0, shuffle_channels=False,
+    )
+    assert s2.frames_done == 1
+    ref = np.fromfile(ok / "f0.bin", np.float32).reshape(-1, 5)
+    np.testing.assert_array_equal(aug, ref)
+
+
 def test_mesh_datagen_batch_mismatch(tmp_path, calib, bank, small_cfg):
     mesh = make_mesh(data=4, beam=2)
     with pytest.raises(ValueError, match="not divisible"):
