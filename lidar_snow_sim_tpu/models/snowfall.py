@@ -577,7 +577,7 @@ def snowfall_augment_dense(
         # wide pulse blocks: the sweep is a 2K+2-step sequential walk of
         # small vectors, so per-iteration latency dominates — amortize it
         # over as many points as the scoped-VMEM budget allows
-        pblk = 256 if cap % 256 == 0 else 64
+        pblk = 512 if cap % 512 == 0 else (256 if cap % 256 == 0 else 64)
         c_d = jnp.linalg.norm(c_xyz, axis=-1)
         c_right, c_left = beam_limits(
             c_xyz[:, 0], c_xyz[:, 1], cfg.beam_divergence_rad

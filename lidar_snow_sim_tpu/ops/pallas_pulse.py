@@ -235,7 +235,7 @@ def make_pallas_pulse_phase(
             compiler_params=pltpu.CompilerParams(
                 # ~30 MB live set at blk=256 (wave + window + sweep state);
                 # the default 16 MB scoped budget is for small kernels
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(feats, occ, trig, cos_g[None, :], sin_g[None, :])
