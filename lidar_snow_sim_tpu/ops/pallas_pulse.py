@@ -1,11 +1,14 @@
 """Fused sweep + pulse-resimulation Pallas kernel (dense-assembly phase C).
 
 Per compacted occluded point this fuses:
-1. the first-claim angular sweep (ops/sweep.py semantics) with a SORT-FREE
-   rank-based ordering of the 2K+2 interval endpoints (O(K^2) VPU compares
-   replace the XLA bitonic sort), and
+1. the first-claim angular sweep (ops/sweep.py semantics) as an iterative
+   extract-min walk over the interval endpoints: each trip retires ALL
+   copies of the current minimum (duplicates form zero-width sub-intervals
+   that claim nothing), so the trip count is bounded by the block's distinct
+   endpoint count (2*max_valid_occluders + 3, typically ~19 of 50), and
 2. the received-pulse waveform accumulation + argmax over the 1230-bin
-   quantized grid (ops/waveform.py semantics, angle-addition form).
+   quantized grid (ops/waveform.py semantics, angle-addition form), with the
+   occluder-bump loop stopping at the block's last active bump.
 
 Mosaic has no sin/cos lowering here either, so the per-bump phase factors
 cos/sin(2 pi r / ctau) and the xsi ramp are computed OUTSIDE in XLA and
@@ -51,7 +54,6 @@ def _kernel(
     beam_rad: float,
     ipm: float,
     c_tau: float,
-    amp_const: float,
     xsi_r1: float,
     xsi_r2: float,
 ):
@@ -186,8 +188,6 @@ def _kernel(
     peak_ref[0, 0, :] = peak[:, 0]
     idx_ref[0, 0, :] = first
 
-    del amp_const  # folded into amp_scale by the caller
-
 
 def make_pallas_pulse_phase(
     *, blk: int, k_occ: int, beam_rad: float, ipm: float, c_tau: float,
@@ -201,7 +201,7 @@ def make_pallas_pulse_phase(
     """
     kernel = functools.partial(
         _kernel, blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm,
-        c_tau=c_tau, amp_const=0.0, xsi_r1=xsi_r1, xsi_r2=xsi_r2,
+        c_tau=c_tau, xsi_r1=xsi_r1, xsi_r2=xsi_r2,
     )
 
     def run(feats, occ, trig, cos_g, sin_g):
