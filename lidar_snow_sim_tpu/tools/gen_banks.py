@@ -37,7 +37,7 @@ TERMINAL_VELOCITIES = (0.2, 0.4, 0.6, 0.8, 1.0, 1.2, 1.4, 1.6, 1.8, 2.0)
 
 
 def _sample_one(task):
-    (out_dir, dist, rate, occupancy, line, r0, seed) = task
+    (out_dir, dist, rate, occupancy, line, r0, seed, plot) = task
     out = Path(out_dir) / f"{dist}_{rate}_{occupancy}_{line}.npy"
     if out.exists():
         return ("skip", str(out), 0, 0.0)
@@ -60,10 +60,20 @@ def _sample_one(task):
             float(occupancy), float(rate), r0, rng, dist
         )
     np.save(out, samples)
+    if plot and line < 3:  # reference plots low lines only (sampling.py:356)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from lidar_snow_sim_tpu.utils.render import particle_field_image
+
+        plt.imsave(out.with_suffix(".png"), particle_field_image(samples, r0))
     return ("done", str(out), len(samples), time.time() - t0)
 
 
-def build_tasks(out_dir, rates, velocities, modes, lines, r0, seed):
+def build_tasks(out_dir, rates, velocities, modes, lines, r0, seed,
+                plot=False):
     combos = []
     for s in rates:
         for v in velocities:
@@ -77,7 +87,7 @@ def build_tasks(out_dir, rates, velocities, modes, lines, r0, seed):
         for rr, occ in combos:
             for line in lines:
                 tasks.append(
-                    (out_dir, dist, rr, occ, line, r0, seed + line)
+                    (out_dir, dist, rr, occ, line, r0, seed + line, plot)
                 )
     return tasks
 
@@ -97,13 +107,18 @@ def main(argv=None):
     ap.add_argument("--r0", type=float, default=80.0, help="domain radius [m]")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument(
+        "--plot", action="store_true",
+        help="also write a {name}.png raster of each sampled field "
+             "(reference sampling.py saves debug SVGs for low lines)",
+    )
     args = ap.parse_args(argv)
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     tasks = build_tasks(
         str(out_dir), args.rates, args.velocities, args.modes,
-        range(1, args.lines + 1), args.r0, args.seed,
+        range(1, args.lines + 1), args.r0, args.seed, plot=args.plot,
     )
     print(f"{len(tasks)} bank files over {args.workers} workers")
     t0 = time.time()

@@ -95,6 +95,38 @@ def normalized_hist2d(var1, var2, bins_x: int = 100, bins_y: int = 100):
     return hist, xedges, yedges
 
 
+def particle_field_image(
+    samples: np.ndarray,
+    r0: float = 80.0,
+    resolution: int = 8,
+    radius_scale: float = 40.0,
+) -> np.ndarray:
+    """Raster of a sampled 2-D particle field (x, y, r rows) — the headless
+    equivalent of the reference's bank debug SVGs
+    (`tools/snowfall/sampling.py:280-320`). Particle size is exaggerated by
+    radius_scale so sub-mm flakes are visible at map scale."""
+    size = int(2 * r0 * resolution)
+    img = np.zeros((size, size, 3), dtype=np.uint8)
+    if len(samples) == 0:
+        return img
+    x = ((samples[:, 0] + r0) * resolution).astype(np.int64)
+    y = ((samples[:, 1] + r0) * resolution).astype(np.int64)
+    colors = _turbo_ish(
+        np.log1p(samples[:, 2] * 1e3) / np.log1p(20.0)  # mm scale
+    )
+    splat = np.clip(
+        (samples[:, 2] * radius_scale * resolution).astype(np.int64), 0, 3
+    )
+    for s in range(int(splat.max()) + 1):
+        sel = splat >= s
+        for dy in range(-s, s + 1):
+            for dx in range(-s, s + 1):
+                xi, yi = x[sel] + dx, y[sel] + dy
+                ok = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
+                img[yi[ok], xi[ok]] = colors[sel][ok]
+    return img
+
+
 def cloud_log_string(pc: np.ndarray) -> str:
     """Per-scan stats line: point count, max range, intensity summary."""
     if len(pc) == 0:
