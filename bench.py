@@ -82,8 +82,8 @@ def main():
         assembly=os.environ.get("BENCH_ASSEMBLY", "dense"),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         channel_capacity=1024,
-        block_points=128,
-        slice_width=1152,
+        block_points=int(os.environ.get("BENCH_BLOCK", "128")),
+        slice_width=int(os.environ.get("BENCH_SLICE", "1152")),
         chunk_group=8,
     )
     bank = jax.device_put(

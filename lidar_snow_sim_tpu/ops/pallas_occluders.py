@@ -225,6 +225,10 @@ def make_pallas_occluder_phase(
                 jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
                 jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                # allow wide blocks (blk x slice intersection state)
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(rows, los, feats, bank_data_t, bank_wide_t)
         tr = lambda v: jnp.swapaxes(v, 1, 2)          # -> (n_chunks, blk, K)
