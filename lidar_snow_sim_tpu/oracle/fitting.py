@@ -98,16 +98,23 @@ def ransac_polyfit(
 
     Starts from the full-data polyfit; each trial fits `n` random samples,
     accepts if > d inliers AND > f fraction inliers, and keeps the inlier
-    refit with the lowest absolute error. rng injects determinism (the
-    reference uses the global np.random state).
+    refit with the lowest absolute error. The reference draws trial indices
+    from the GLOBAL np.random state (np.random.randint); with rng=None this
+    does the same, so `np.random.seed(s)` reproduces its exact draw sequence
+    (golden-tested in tests/test_reference_golden.py). Pass an
+    np.random.Generator to decouple from global state (different stream).
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    rng = rng or np.random.default_rng()
+    draw = (
+        (lambda: np.random.randint(len(x), size=n))
+        if rng is None
+        else (lambda: rng.integers(len(x), size=n))
+    )
     bestfit = np.polyfit(x, y, order)
     besterr = np.sum(np.abs(np.polyval(bestfit, x) - y))
     for _ in range(k):
-        maybe = rng.integers(len(x), size=n)
+        maybe = draw()
         model = np.polyfit(x[maybe], y[maybe], order)
         inl = np.abs(np.polyval(model, x) - y) < t
         if inl.sum() > d and inl.sum() > len(x) * f:
@@ -124,6 +131,7 @@ def noise_floor_bins(
     n_points: int,
     bins: tuple[int, int] = (50, 2555),
     d_range: tuple[float, float] = (10.0, 70.0),
+    device_semantics: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Minimum-intensity-per-distance-bin estimator.
 
@@ -140,7 +148,17 @@ def noise_floor_bins(
         range=(d_range, (5, np.abs(np.max(normalized_intensities)))),
     )
     hist[hist == 0] = n_points
-    ymins = np.argmin(hist, axis=1)
+    if device_semantics:
+        # the TPU pipeline's pinned tie-break: first minimal-count bin
+        # (ops/laser.py:noise_floor_rows) — see PARITY.md for measured deltas
+        ymins = np.argmin(hist, axis=1)
+    else:
+        # literal argpartition(…, 2)[:, 0] (augmentation.py:237): NOT argmin —
+        # position 0 only holds *one of the two smallest* bins, and with the
+        # massive tie plateau (empty bins := n_points) the selected index
+        # follows introselect's deterministic-but-arbitrary order.
+        # Golden-tested in tests/test_reference_golden.py.
+        ymins = np.argpartition(hist, 2, axis=1)[:, 0]
     min_vals = yedges[ymins]
     sel = min_vals > 5
     x = (xedges[:-1][sel] + xedges[1:][sel]) / 2
@@ -153,6 +171,7 @@ def estimate_laser_parameters(
     power_factor: float = 15.0,
     noise_floor: float = 0.7,
     estimation_method: str = "linear",
+    device_semantics: bool = False,
 ):
     """Relative output power + adaptive noise threshold per ground point.
 
@@ -160,6 +179,13 @@ def estimate_laser_parameters(
     intensities normalized by cos(incident); power fitted linear (or poly-2)
     vs distance, scaled by power_factor; noise floor from the 2-D histogram
     minimum fit, scaled by noise_floor.
+
+    device_semantics=True swaps the two reference quirks the TPU pipeline
+    cannot (sensibly) reproduce for their pinned equivalents: histogram
+    row-minimum tie-break = first index (vs introselect's argpartition order)
+    and poly noise fit = plain degree-2 polyfit with the >3-rows fallback (vs
+    an unseeded global-RNG RANSAC). Literal mode is golden-tested against the
+    reference; the device deviation is quantified in PARITY.md.
     """
     intens = ground_points[:, 3] / np.cos(incident_angle)
     distance = np.linalg.norm(ground_points[:, :3], axis=1)
@@ -175,9 +201,16 @@ def estimate_laser_parameters(
     else:
         raise ValueError(estimation_method)
 
-    x, min_vals = noise_floor_bins(distance, intens, len(ground_points))
+    x, min_vals = noise_floor_bins(
+        distance, intens, len(ground_points), device_semantics=device_semantics
+    )
     if estimation_method == "poly":
-        pmin = polyfit2(x, min_vals) if len(min_vals) > 3 else p
+        if device_semantics:
+            pmin = polyfit2(x, min_vals) if len(min_vals) > 3 else p
+        else:
+            # literal: ALWAYS ransac_polyfit (global np.random), no length
+            # guard (augmentation.py:244-247)
+            pmin = ransac_polyfit(x, min_vals, order=2)
         threshold = noise_floor * np.polyval(pmin, distance)
     else:
         pmin = linregress_fit(x, min_vals) if len(min_vals) > 3 else p

@@ -326,6 +326,8 @@ def augment(
     noise_floor: float = 0.7,
     plane: tuple | None = None,
     fov_filter=None,
+    legacy_sort: bool = False,
+    device_semantics: bool = False,
 ) -> tuple[tuple, np.ndarray]:
     """Full-scan snowfall augmentation.
 
@@ -333,8 +335,15 @@ def augment(
     uses particle_sets[order[c]] (the injected shuffle). `plane` optionally
     injects (w, h) to bypass RANSAC. Returns
     ((num_attenuated, num_removed, avg_intensity_diff), augmented cloud).
+
+    legacy_sort=True reproduces the reference's UNSTABLE channel argsort
+    (simulation.py:447 uses np.argsort's default introselect), giving
+    bit-equal output ROW ORDER vs the reference on the same numpy
+    (tests/test_reference_golden.py). The stable default keeps rows aligned
+    with the device pipeline; per-row values are identical either way.
     """
-    pc = pc[np.argsort(pc[:, 4], kind="stable")]
+    kind = None if legacy_sort else "stable"
+    pc = pc[np.argsort(pc[:, 4], kind=kind)]
 
     if plane is None:
         w, h = ransac_plane(pc[:, :3])
@@ -350,7 +359,7 @@ def augment(
         (pcg[:, :3] @ w) / (np.linalg.norm(pcg[:, :3], axis=1) * np.linalg.norm(w))
     )
     _, threshold, _ = estimate_laser_parameters(
-        pcg, incident, noise_floor=noise_floor
+        pcg, incident, noise_floor=noise_floor, device_semantics=device_semantics
     )
     threshold = threshold * np.cos(incident)
 

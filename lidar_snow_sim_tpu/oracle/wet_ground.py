@@ -52,6 +52,7 @@ def ground_water_augmentation(
     delta: float = 0.5,
     replace: bool = True,
     plane: tuple | None = None,
+    device_semantics: bool = False,
 ) -> np.ndarray:
     """Wet-ground reflectance augmentation (augmentation.py:25-161).
 
@@ -88,6 +89,7 @@ def ground_water_augmentation(
         noise_floor=noise_floor,
         estimation_method=estimation_method,
         power_factor=power_factor,
+        device_semantics=device_semantics,
     )
 
     reflectivities = planes_pc[:, 3] / np.cos(incident) / relative_output

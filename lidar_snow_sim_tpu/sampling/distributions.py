@@ -21,8 +21,10 @@ def compute_occupancy(
     snowfall_rate in mm/h, terminal_velocity in m/s, snow_density in g/cm^3.
     """
     water_density = 1.0
+    # literal operand grouping of sampling.py:33 (bit-equal result matters:
+    # occupancy feeds the reference's particle-bank file names)
     return (water_density * snowfall_rate) / (
-        3.6e6 * snow_density * terminal_velocity
+        (3.6 * 10**6) * (snow_density * terminal_velocity)
     )
 
 

@@ -73,6 +73,7 @@ def test_full_pipeline_parity(setup):
         order,
         BEAM_DIV_DEG,
         plane=PLANE,
+        device_semantics=True,
     )
 
     padded = pad_cloud(pc, cfg.max_points)

@@ -48,7 +48,7 @@ def test_total_transmittance_bounded():
 
 def test_wet_ground_parity_vs_oracle(scan):
     pc = scan
-    want = oracle_aug(pc.astype(np.float64), plane=PLANE)
+    want = oracle_aug(pc.astype(np.float64), plane=PLANE, device_semantics=True)
 
     aug = WetGroundAugmenter(max_points=1 << int(np.ceil(np.log2(len(pc)))))
     got = aug(pc, plane=PLANE)
@@ -92,7 +92,9 @@ def test_wet_ground_variants_match_oracle_counts(scan, kwargs):
     from lidar_snow_sim_tpu.config import WetGroundConfig
 
     pc = scan
-    want = oracle_aug(pc.astype(np.float64), plane=PLANE, **kwargs)
+    want = oracle_aug(
+        pc.astype(np.float64), plane=PLANE, device_semantics=True, **kwargs
+    )
     aug = WetGroundAugmenter(
         cfg=WetGroundConfig(**kwargs),
         max_points=1 << int(np.ceil(np.log2(len(pc)))),
