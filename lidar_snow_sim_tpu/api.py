@@ -55,8 +55,6 @@ def augment(
     from lidar_snow_sim_tpu.sampling.banks import load_bank_files
 
     pc = np.asarray(pc)
-    if only_camera_fov:
-        pc = pc[np.asarray(camera_fov_mask(pc[:, :3]))]
 
     directory = Path(root_path) if root_path else Path(
         os.environ.get("SNOWFLAKES_DIR", "snowflakes")
@@ -86,6 +84,18 @@ def augment(
             bank=bank, calib=load_hdl64_calib(), cfg=cfg
         )
     stats, aug_pc = _AUGMENTER_CACHE[key](pc, shuffle=shuffle)
+    if only_camera_fov:
+        # reference order (simulation.py:532-540): augment the FULL cloud,
+        # crop to the camera FOV at the END, and count the cropped points in
+        # num_removed; num_attenuated / avg_intensity_diff stay pre-crop.
+        fov = np.asarray(camera_fov_mask(aug_pc[:, :3]))
+        num_attenuated, num_removed, avg_intensity_diff = stats
+        stats = (
+            num_attenuated,
+            num_removed + int(np.logical_not(fov).sum()),
+            avg_intensity_diff,
+        )
+        aug_pc = aug_pc[fov]
     return stats, aug_pc
 
 

@@ -123,17 +123,20 @@ class CameraCalibration:
     def rect_to_img(self, pts_rect):
         """(N, 3) rect points -> ((N, 2) pixel coords, (N,) rect depth).
 
-        Matches pcdet semantics: depth is the rect z minus the projection
-        matrix's z-offset term.
+        Exact pcdet `calibration_kitti.Calibration.rect_to_img` semantics:
+        pixel coordinates divide by the RECT-frame z (not the projected z),
+        and the returned depth is ``proj_z - P2[2, 3]`` which equals the
+        rect z. With ``P2[2, 3] != 0`` the two conventions disagree at image
+        borders and on the depth >= 0 cut.
         """
         p2 = jnp.asarray(self.P2, jnp.float32)
         hom = jnp.concatenate(
             [pts_rect, jnp.ones_like(pts_rect[:, :1])], axis=1
         )
         proj = hom @ p2.T  # (N, 3)
-        z = proj[:, 2]
-        pts_img = proj[:, :2] / jnp.where(z == 0, 1e-9, z)[:, None]
-        depth = pts_rect[:, 2] - float(self.P2.T[3, 2])
+        rz = pts_rect[:, 2]
+        pts_img = proj[:, :2] / jnp.where(rz == 0, 1e-9, rz)[:, None]
+        depth = proj[:, 2] - float(self.P2.T[3, 2])
         return pts_img, depth
 
     def lidar_to_img(self, pts_lidar):

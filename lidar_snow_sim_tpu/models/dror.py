@@ -139,3 +139,60 @@ def dror_snow_stats(pc: np.ndarray, **kwargs):
     keep = dynamic_radius_outlier_filter(cube, **kwargs)
     num_snow = int((~keep).sum())
     return num_snow, snow_level(num_snow)
+
+
+# --- precomputed-index fallback (the reference's DROR.zip path) ---
+#
+# When live PCL DROR is unavailable the reference loads per-frame pickles of
+# snow-point indices from `{DROR}/alpha_0.45/all/{sensor}/{signal}/{variant}/
+# {frame}.pkl` (`pointcloud_viewer.py:94-111`), variant "full" for the filter
+# mask and "crop" for the severity count (`:2612-2630`).
+
+
+def _pickle_path(root, sensor, signal, variant, filename):
+    from pathlib import Path
+
+    name = Path(filename).name.replace(".bin", "")
+    return (
+        Path(root) / "alpha_0.45" / "all" / sensor / signal / variant
+        / f"{name}.pkl"
+    )
+
+
+def precomputed_dror_mask(
+    root, sensor: str, signal: str, variant: str, before: int, filename: str
+) -> np.ndarray:
+    """Keep-mask from a precomputed snow-index pickle; exact reference
+    semantics (`pointcloud_viewer.py:98-111`): ones(before) with the pickled
+    indices cleared. Raises FileNotFoundError like the reference's bare
+    ``open``."""
+    import pickle
+
+    with open(_pickle_path(root, sensor, signal, variant, filename), "rb") as f:
+        snow_indices = pickle.load(f)
+    mask = np.ones(before, dtype=bool)
+    mask[snow_indices] = False
+    return mask
+
+
+def precomputed_snow_severity(
+    root, sensor: str, signal: str, filename: str
+) -> tuple[int, str]:
+    """(num_snow, severity label) from the crop-variant pickle — the
+    viewer's DROR title readout (`pointcloud_viewer.py:2612-2643`).
+
+    Returns (-1, "file not found") when the pickle is absent, and the
+    open-ended "heavy" band when the count exceeds every DROR_LEVELS range,
+    mirroring the reference's loop/default structure.
+    """
+    import pickle
+
+    path = _pickle_path(root, sensor, signal, "crop", filename)
+    if not path.exists():
+        return -1, "file not found"
+    with open(path, "rb") as f:
+        num_snow = len(pickle.load(f))
+    for key, (lo, hi) in DROR_LEVELS.items():
+        if lo <= num_snow <= hi:
+            return num_snow, key
+    return num_snow, "heavy"

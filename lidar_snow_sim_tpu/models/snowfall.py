@@ -517,7 +517,7 @@ def snowfall_augment_dense(
         )
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
             xyz_blk, row_of_chunk, lo.astype(jnp.int32),
-            bank.data_t, bank.wide_t,
+            bank.count.astype(jnp.int32), bank.data_t, bank.wide_t,
         )
         occ_valid = occ_valid & valid_blk[:, :, None]
         occ_of = jnp.sum(jnp.where(valid_blk, occ_of_pts, 0))
@@ -530,6 +530,14 @@ def snowfall_augment_dense(
             sl = jax.lax.dynamic_slice(
                 bank.data, (row, lo_b, jnp.int32(0)), (1, w_sl, 4)
             )[0]
+            # wrap-pad dedup: extended bank entries repeat with period
+            # count[row] (banks.py layout), so a seam-spanning slice wider
+            # than the narrow count would hit the same particle twice (same
+            # x,y under a +-2pi-shifted sort angle), inflating n_hit /
+            # occluder_overflow and wasting top-k slots. Keep only the first
+            # copy: slice-local offset < count.
+            keep = jnp.arange(w_sl) < bank.count[row]
+            sl = sl.at[:, 3].set(jnp.where(keep, sl[:, 3], 1e9))
             wide = bank.wide[row]                                  # (Wc, 4)
             cand = jnp.concatenate([sl, wide], axis=0)             # (C, 4)
             cand_b = jnp.broadcast_to(cand[None], (blk,) + cand.shape)

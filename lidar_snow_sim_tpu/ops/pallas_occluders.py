@@ -62,6 +62,7 @@ def point_features(xyz, beam_rad: float):
 def _kernel(
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
     los_ref,       # (n_chunks,) i32, scalar-prefetch
+    counts_ref,    # (C_banks,) i32, scalar-prefetch: narrow count per row
     feat_ref,      # (1, blk, N_FEAT) VMEM block
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY (ParticleBank.data_t)
     wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY (ParticleBank.wide_t)
@@ -126,6 +127,14 @@ def _kernel(
 
     hit = (center_in | right_hit | left_hit) & (pdist < d_orig)  # (blk, C)
 
+    # wrap-pad dedup (banks.py layout): slice entries repeat with period
+    # count[row], so a seam-spanning slice wider than the narrow count hits
+    # the same particle twice. Keep only the first copy (slice offset <
+    # count); wide-list columns (offset >= w_sl) are never duplicated.
+    n_row = counts_ref[row]
+    col_1c = jax.lax.broadcasted_iota(jnp.int32, (1, hit.shape[1]), 1)
+    hit = hit & ((col_1c >= w_sl) | (col_1c < n_row))
+
     a1_raw = pang - halfw
     a1_raw = jnp.where(a1_raw < 0, a1_raw + TWO_PI, a1_raw)
     a2_raw = pang + halfw
@@ -177,7 +186,7 @@ def make_pallas_occluder_phase(
 ):
     """Build the fused phase-A callable for fixed static shapes.
 
-    The returned function takes (xyz_blk, rows, los, bank_data_t,
+    The returned function takes (xyz_blk, rows, los, counts, bank_data_t,
     bank_wide_t) and returns (a1, a2, dist, valid, overflow) shaped
     ((n_chunks, blk, K) x 4, (n_chunks, blk)).
     """
@@ -185,19 +194,19 @@ def make_pallas_occluder_phase(
         _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
     )
 
-    def run(xyz_blk, rows, los, bank_data_t, bank_wide_t):
+    def run(xyz_blk, rows, los, counts, bank_data_t, bank_wide_t):
         n_chunks = xyz_blk.shape[0]
         feats = point_features(xyz_blk, beam_rad)     # (n_chunks, blk, F)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
                     (1, blk, N_FEAT), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec(
@@ -230,7 +239,7 @@ def make_pallas_occluder_phase(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(rows, los, feats, bank_data_t, bank_wide_t)
+        )(rows, los, counts, feats, bank_data_t, bank_wide_t)
         tr = lambda v: jnp.swapaxes(v, 1, 2)          # -> (n_chunks, blk, K)
         return tr(a1), tr(a2), tr(dist), tr(valid) > 0.5, ovf[:, 0, :]
 

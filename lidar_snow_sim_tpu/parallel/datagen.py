@@ -140,7 +140,8 @@ def run_snowfall_datagen(
                 new["channel_capacity"] = cfg.channel_capacity * 2
             elif name == "compact_overflow":
                 cap = cfg.compact_capacity or max(
-                    64 * cfg.channel_capacity // 4, cfg.pulse_chunk
+                    calib.num_lasers * cfg.channel_capacity // 4,
+                    cfg.pulse_chunk,
                 )
                 new["compact_capacity"] = cap * 2
             else:

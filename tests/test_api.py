@@ -37,13 +37,26 @@ def test_augment_reference_signature(bank_dir, scan):
 
 
 def test_augment_camera_fov_filter(bank_dir, scan):
-    _, aug = augment(
+    stats_fov, aug = augment(
         scan, "gunn_5.0_1e-06", float(np.degrees(3e-3)),
         shuffle=False, only_camera_fov=True, root_path=str(bank_dir),
     )
     # the default DENSE rig keeps the forward cone only
     az = np.degrees(np.arctan2(aug[:, 1], aug[:, 0]))
     assert np.abs(az).max() < 45.0
+
+    # reference crop order (simulation.py:532-540): the FULL cloud is
+    # augmented and the FOV crop happens at the END — so the FOV run's
+    # num_removed equals the no-FOV run's num_removed plus the cropped
+    # count, and num_attenuated / avg_intensity_diff are pre-crop values.
+    stats_full, aug_full = augment(
+        scan, "gunn_5.0_1e-06", float(np.degrees(3e-3)),
+        shuffle=False, only_camera_fov=False, root_path=str(bank_dir),
+    )
+    assert stats_fov[0] == stats_full[0]
+    assert stats_fov[2] == stats_full[2]
+    assert stats_fov[1] == stats_full[1] + (len(aug_full) - len(aug))
+    assert len(aug) == len(scan) - stats_fov[1]
 
 
 def test_ground_water_reference_signature(scan):

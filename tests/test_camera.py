@@ -35,8 +35,10 @@ def test_kitti_calib_roundtrip(tmp_path):
     img, depth = calib.rect_to_img(rect)
     img, depth = np.asarray(img), np.asarray(depth)
     proj = np.hstack([rect, np.ones((2, 1))]) @ p2.T
-    np.testing.assert_allclose(img, proj[:, :2] / proj[:, 2:3], rtol=1e-4)
-    np.testing.assert_allclose(depth, rect[:, 2] - 0.005, rtol=1e-5)
+    # pcdet semantics: pixels divide by the RECT z (not proj z); depth is
+    # proj_z - P2[2,3] == rect z. Distinguishable because P2[2,3] != 0 here.
+    np.testing.assert_allclose(img, proj[:, :2] / rect[:, 2:3], rtol=1e-4)
+    np.testing.assert_allclose(depth, rect[:, 2], rtol=1e-5)
 
 
 def test_fov_flag_semantics():

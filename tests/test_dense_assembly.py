@@ -150,6 +150,51 @@ def test_dense_full_360_scan(setup):
     np.testing.assert_array_equal(rw.keep[:n], rd.keep[:n])
 
 
+def test_dense_seam_dedup_small_bank(setup):
+    """A slice wider than a channel's particle count contains +-2pi wrap-pad
+    COPIES of every particle (banks.py tiles with period count[row]); the
+    dense candidate test must dedupe them, or seam scans double-count hits
+    and spuriously overflow max_occluders. Window path gates by window
+    membership, so equality + zero overflow proves the dedup."""
+    calib, _, _, order = setup
+    rng = np.random.default_rng(7)
+    sets = []
+    for _ in range(64):
+        # cluster particles at the +-pi seam so wrap pads are exercised
+        ang = np.pi + rng.uniform(-0.4, 0.4, 40)
+        d = np.sqrt(rng.uniform(0.01, 1, 40)) * 40
+        r = rng.uniform(0.01, 0.08, 40)
+        sets.append(np.column_stack([d * np.cos(ang), d * np.sin(ang), r]))
+    bank = build_bank(sets, window_size=256, wide_capacity=64)
+    assert bank.angle.shape[1] > 40  # slices necessarily span duplicates
+    pc = synthetic_scan(n_azimuth=100, fov_deg=360.0, seed=4, calib=calib)
+    pc = pc[np.argsort(pc[:, 4], kind="stable")][:8192]
+    s = (calib, pc, bank, order)
+    base = dict(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=16, max_bumps=16, point_chunk=256,
+    )
+    rw = _run(s, SnowfallConfig(**base, assembly="window"))
+    assert int(rw.occluder_overflow) == 0
+    dense = dict(
+        assembly="dense", channel_capacity=128, block_points=32,
+        slice_width=256, chunk_group=8,
+    )
+    rd = _run(s, SnowfallConfig(**base, **dense))
+    rp = _run(
+        s,
+        SnowfallConfig(
+            **base, **dense, use_pallas=True, pallas_interpret=True
+        ),
+    )
+    n = len(pc)
+    for r in (rd, rp):
+        assert int(r.occluder_overflow) == 0
+        assert int(r.window_overflow) == 0
+        np.testing.assert_array_equal(rw.points[:n], r.points[:n])
+        np.testing.assert_array_equal(rw.keep[:n], r.keep[:n])
+
+
 def test_dense_compact_overflow_detected(setup):
     """compact_capacity below the occluded-point count must be counted."""
     cfg = SnowfallConfig(

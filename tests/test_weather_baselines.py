@@ -251,3 +251,37 @@ def test_dror_cube_and_levels():
     assert snow_level(10**6) == "heavy"
     num, level = dror_snow_stats(pc)
     assert level == snow_level(num)
+
+
+def test_dror_precomputed_fallback(tmp_path):
+    """Pickle-fallback parity with `pointcloud_viewer.py:94-111,2612-2643`:
+    mask = ones(before) with pickled indices cleared; severity read from the
+    crop-variant pickle; missing file -> (-1, 'file not found')."""
+    import pickle
+
+    from lidar_snow_sim_tpu.models.dror import (
+        precomputed_dror_mask,
+        precomputed_snow_severity,
+    )
+
+    base = tmp_path / "alpha_0.45" / "all" / "hdl64" / "strongest"
+    (base / "full").mkdir(parents=True)
+    (base / "crop").mkdir(parents=True)
+    with open(base / "full" / "frame_0001.pkl", "wb") as f:
+        pickle.dump(np.array([0, 3, 7]), f)
+    with open(base / "crop" / "frame_0001.pkl", "wb") as f:
+        pickle.dump(np.arange(DROR_LEVELS["medium"][0]), f)
+
+    mask = precomputed_dror_mask(
+        tmp_path, "hdl64", "strongest", "full", 10, "frame_0001.bin"
+    )
+    assert mask.tolist() == [
+        False, True, True, False, True, True, True, False, True, True
+    ]
+    num, level = precomputed_snow_severity(
+        tmp_path, "hdl64", "strongest", "frame_0001.bin"
+    )
+    assert (num, level) == (DROR_LEVELS["medium"][0], "medium")
+    assert precomputed_snow_severity(
+        tmp_path, "hdl64", "strongest", "missing.bin"
+    ) == (-1, "file not found")
