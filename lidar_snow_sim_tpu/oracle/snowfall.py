@@ -313,6 +313,126 @@ def resimulate_channel(
     return intensity_diff_sum, pc
 
 
+def pulse_decision_margins(
+    d_orig: float,
+    i_orig: float,
+    beam_dict: dict,
+    channel: int,
+    min_intensity: float,
+    focal_distance: float,
+    focal_slope: float,
+) -> dict:
+    """Distances of one point's pulse re-simulation to its f32-sensitive
+    decision boundaries (same math as `resimulate_channel`; used by the
+    parity tests to prove device<->oracle mismatches are boundary ties, not
+    bugs — simulation.py:151-192 decision structure).
+
+    Returned margins (all >= 0; small value == the decision sat on an edge
+    where f32 and f64 can legitimately disagree):
+      peak_tie      relative gap between the two largest waveform bins
+                    (argmax tie, simulation.py:151)
+      range_margin  | |d_max - d_orig| - 0.2 | (label 1/2 cut, :158)
+      int_margin    distance of the final intensity to the nearest integer
+                    (int() truncation, :162)
+      bin_margin    distance of any occluder's r_j*10 (ceil edge) or
+                    (r_j + c*tau_H)*10 (floor edge) to an integer (:143-147)
+      min_ratio     smallest positive occlusion ratio (a ~0 claim can
+                    appear/disappear under f32 sweep arithmetic, :282-290)
+    """
+    lidar_range, ipm = 120, 10
+    beta_0 = 1e-6 / PI
+    tau_h = 1e-8
+    c = SPEED_OF_LIGHT
+    m_ext = int(np.ceil(lidar_range * ipm + c * tau_h * ipm))
+    R = np.round(np.linspace(0, lidar_range + c * tau_h, m_ext), 2)
+    fo = (1 - focal_distance / 13100) ** 2
+    max_int = 230.0 if channel in (53, 55, 56, 58) else 255.0
+
+    i_adj = np.clip(
+        i_orig - 255 * focal_slope * np.abs(fo - (1 - d_orig / 120) ** 2),
+        0, max_int,
+    )
+    ca = i_adj * d_orig**2 / beta_0
+    io = i_orig
+    wave = np.zeros(m_ext)
+    bin_margin = np.inf
+    for key, (r_j, ratio) in beam_dict.items():
+        if key != -1:
+            io = 0.9 * max_int
+            ca = io / beta_0
+        start = int(np.ceil(r_j * ipm))
+        end = int(np.floor((r_j + c * tau_h) * ipm) + 1)
+        bin_margin = min(
+            bin_margin,
+            abs(r_j * ipm - round(r_j * ipm)),
+            abs((r_j + c * tau_h) * ipm - round((r_j + c * tau_h) * ipm)),
+        )
+        amp = ca * beta_0 * ratio * _xsi(r_j) / r_j**2
+        for k in range(start, min(end, m_ext)):
+            wave[k] += amp * np.sin(PI * (R[k] - r_j) / (c * tau_h)) ** 2
+
+    max_idx = int(np.argmax(wave))
+    peak = wave[max_idx]
+    d_max = max_idx / ipm - c * tau_h / 2
+    second = np.delete(wave, max_idx).max() if m_ext > 1 else 0.0
+    i_max = peak + max_int * focal_slope * np.abs(fo - (1 - d_max / 120) ** 2)
+    i_max = np.clip(i_max, min_intensity, max_int)
+    return dict(
+        d_max=d_max,
+        i_max=float(i_max),
+        peak_tie=(peak - second) / peak if peak > 0 else np.inf,
+        range_margin=abs(abs(d_max - d_orig) - 2 / ipm),
+        int_margin=float(
+            min(i_max - np.floor(i_max), np.ceil(i_max) - i_max)
+        ),
+        bin_margin=float(bin_margin),
+        min_ratio=min(
+            (v[1] for k, v in beam_dict.items() if k != -1 and v[1] > 0),
+            default=np.inf,
+        ),
+    )
+
+
+def hit_set_margins(
+    xyz: np.ndarray,
+    d_orig: float,
+    right_angle: float,
+    left_angle: float,
+    particles: np.ndarray,
+) -> dict:
+    """Distances of one beam's particle-intersection predicate to its
+    boundaries (simulation.py:345-390): a small value means a particle sits
+    on a hit/no-hit edge, so f32 and f64 can disagree about the occluder set
+    (label 0 <-> nonzero flips).
+
+    Margins: cull (|particle range - target range|), tangency (|edge-line
+    distance - radius|, hit edges only), angle (particle azimuth to a beam
+    limit).
+    """
+    if len(particles) == 0:
+        return dict(cull=np.inf, tangency=np.inf, angle=np.inf)
+    x, y, r = particles[:, 0], particles[:, 1], particles[:, 2]
+    pang = _wrap_02pi(np.arctan2(y, x))
+    dist = np.hypot(x, y)
+    ar, br = _edge_line_coeffs(np.array([right_angle]))
+    al, bl = _edge_line_coeffs(np.array([left_angle]))
+    dist_r = np.abs(ar[0] * x + br[0] * y) / np.hypot(ar[0], br[0])
+    dist_l = np.abs(al[0] * x + bl[0] * y) / np.hypot(al[0], bl[0])
+    ang = np.minimum.reduce([
+        np.abs(pang - right_angle),
+        np.abs(pang - left_angle),
+        np.abs(pang - right_angle + TWO_PI),
+        np.abs(pang - left_angle - TWO_PI),
+    ])
+    return dict(
+        cull=float(np.min(np.abs(dist - d_orig))),
+        tangency=float(
+            np.min(np.minimum(np.abs(dist_r - r), np.abs(dist_l - r)))
+        ),
+        angle=float(np.min(ang)),
+    )
+
+
 # ----------------------------------------------------------------------------
 # full augmentation (semantics of simulation.py:427-544)
 # ----------------------------------------------------------------------------

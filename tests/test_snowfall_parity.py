@@ -107,9 +107,28 @@ def test_full_pipeline_parity(setup):
     )
     from lidar_snow_sim_tpu.oracle.snowfall import _wrap_02pi
 
-    mismatch_label = 0
-    mismatch_int = 0
-    mismatch_xyz = 0
+    from lidar_snow_sim_tpu.oracle.snowfall import (
+        hit_set_margins,
+        pulse_decision_margins,
+    )
+
+    # Any device/oracle disagreement must sit ON a decision boundary where
+    # f32 and f64 legitimately tie-break differently (simulation.py:151-192
+    # decision structure); anything else is a bug and fails hard. On the CPU
+    # backend the pipeline is currently EXACT (zero mismatches) — the margin
+    # machinery guards the TPU/f32 case and future scenes.
+    _EPS = dict(
+        peak_tie=1e-4,      # argmax near-tie between waveform bins
+        range_margin=1e-3,  # |d_max - d_orig| vs the 0.2 m label cut [m]
+        int_margin=1e-3,    # int() truncation edge [intensity counts]
+        bin_margin=1e-4,    # ceil/floor pulse-bin edge [bin fractions]
+        min_ratio=1e-5,     # an occluder claiming ~zero angular width
+        cull=1e-3,          # particle range vs target range [m]
+        tangency=1e-5,      # edge-line distance vs particle radius [m]
+        angle=1e-6,         # particle azimuth vs beam limit [rad]
+    )
+    mismatches = []
+    unexplained = []
     total = 0
     beam_rad = np.radians(BEAM_DIV_DEG)
     for channel in range(64):
@@ -131,30 +150,50 @@ def test_full_pipeline_parity(setup):
         )
         have = got[m]
         total += len(want)
-        mismatch_label += int((have[:, 4] != want[:, 4]).sum())
-        mismatch_int += int(
-            (np.abs(have[:, 3] - np.round(want[:, 3])) > 1).sum()
-        )
-        mismatch_xyz += int(
-            (np.abs(have[:, :3] - want[:, :3]).max(axis=1) > 0.05).sum()
-        )
+        bad = np.where(
+            (have[:, 4] != want[:, 4])
+            | (np.abs(have[:, 3] - np.round(want[:, 3])) > 1)
+            | (np.abs(have[:, :3] - want[:, :3]).max(axis=1) > 0.05)
+        )[0]
+        for j in bad:
+            margins = pulse_decision_margins(
+                d[j], cpc[j, 3], occl[j], channel,
+                float(calib.min_intensity[channel]),
+                float(calib.focal_distance[channel]),
+                float(calib.focal_slope[channel]),
+            )
+            margins.update(
+                hit_set_margins(
+                    cpc[j, :3], d[j], beams[j, 0], beams[j, 1],
+                    sets[order[channel]],
+                )
+            )
+            on_boundary = any(
+                margins[k] < eps for k, eps in _EPS.items()
+            )
+            rec = (channel, int(j), int(want[j, 4]), int(have[j, 4]), margins)
+            mismatches.append(rec)
+            if not on_boundary:
+                unexplained.append(rec)
 
     assert total == n
-    # f32 vs f64 tie-breaks on bin boundaries / floor() edges
-    assert mismatch_label / total < 0.01, f"{mismatch_label}/{total} labels differ"
-    assert mismatch_int / total < 0.01
-    assert mismatch_xyz / total < 0.01
+    assert not unexplained, (
+        f"{len(unexplained)} device/oracle mismatches NOT on any decision "
+        f"boundary: {unexplained[:5]}"
+    )
+    # boundary ties must stay rare even where they are legitimate
+    assert len(mismatches) / total < 0.002, (
+        f"{len(mismatches)}/{total} boundary-tied mismatches"
+    )
 
-    # --- statistics parity --------------------------------------------------
+    # --- statistics parity: exact on the CPU backend ------------------------
     na_o, nr_o, ad_o = stats_o
-    assert abs(int(res.num_attenuated) - na_o) / max(na_o, 1) < 0.05
-    assert abs(int(res.num_removed) - nr_o) / max(nr_o, 1) < 0.08
-    if na_o > 0:
-        assert abs(int(res.avg_intensity_diff) - ad_o) <= 3
+    assert (int(res.num_attenuated), int(res.num_removed)) == (na_o, nr_o)
+    assert int(res.avg_intensity_diff) == ad_o
 
-    # --- compacted cloud sanity --------------------------------------------
+    # --- compacted cloud ----------------------------------------------------
     aug_jax = got[keep]
-    assert abs(len(aug_jax) - len(aug_o_full)) / max(len(aug_o_full), 1) < 0.08
+    assert len(aug_jax) == len(aug_o_full)
     labels = aug_jax[:, 4]
     assert set(np.unique(labels)).issubset({0.0, 1.0, 2.0})
 
