@@ -95,6 +95,59 @@ def test_mesh_datagen_matches_unsharded(tmp_path, calib, bank, small_cfg):
     assert s3.frames_skipped == 4 and s3.frames_done == 0
 
 
+def test_two_process_distributed_stats(tmp_path):
+    """Real 2-process `jax.distributed` rehearsal on the CPU backend: each
+    process datagens its share-nothing shard (`--shard i/2` semantics) into a
+    shared directory, then `all_hosts_stats` must psum the per-host counters
+    to the same global view on BOTH hosts (SURVEY.md §2.4/§5)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = Path(__file__).parent / "_distributed_worker.py"
+    env = dict(
+        __import__("os").environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=str(Path(__file__).parent.parent),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        rec = json.loads(line[len("RESULT "):])
+        results[rec["pid"]] = rec
+
+    assert results[0]["primary"] and not results[1]["primary"]
+    # disjoint share-nothing shards covering all 4 frames
+    assert set(results[0]["ids"]) | set(results[1]["ids"]) == {
+        "f0", "f1", "f2", "f3"
+    }
+    assert not set(results[0]["ids"]) & set(results[1]["ids"])
+    for f in results[0]["merged"]:
+        want = results[0]["local"][f] + results[1]["local"][f]
+        assert results[0]["merged"][f] == want, (f, results)
+        assert results[1]["merged"][f] == want, (f, results)
+    assert results[0]["merged"]["frames_done"] == 4
+    assert results[0]["merged"]["attenuated"] > 0
+    for sid in ("f0", "f1", "f2", "f3"):
+        assert (tmp_path / f"{sid}.bin").exists()
+
+
 def test_snow_wet_datagen(tmp_path, calib, bank, small_cfg):
     """wet_cfg chains wet ground on device; outputs stay valid N x 5 with
     a manifest recording the mode."""
