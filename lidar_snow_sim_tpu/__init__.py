@@ -29,6 +29,8 @@ def __getattr__(name):
         "WetGroundAugmenter": "lidar_snow_sim_tpu.models.wet_ground",
         "FogAugmenter": "lidar_snow_sim_tpu.models.fog",
         "FogParameterSet": "lidar_snow_sim_tpu.models.fog",
+        "ParameterSet": "lidar_snow_sim_tpu.models.fog",
+        "simulate_fog": "lidar_snow_sim_tpu.models.fog",
         "StfFogAugmenter": "lidar_snow_sim_tpu.models.stf_fog",
         "BetaRandomization": "lidar_snow_sim_tpu.models.stf_fog",
         "LISA": "lidar_snow_sim_tpu.models.lisa",
@@ -57,6 +59,8 @@ __all__ = [
     "WetGroundAugmenter",
     "FogAugmenter",
     "FogParameterSet",
+    "ParameterSet",
+    "simulate_fog",
     "StfFogAugmenter",
     "BetaRandomization",
     "LISA",

@@ -1,26 +1,43 @@
 """Fog simulation — TPU-native equivalent of the `lib/LiDAR_fog_sim` surface.
 
 The reference viewer consumes ``fog_simulation.ParameterSet`` and
-``simulate_fog`` from the ICCV'21 "Fog Simulation on Real LiDAR Point Clouds"
-submodule (`pointcloud_viewer.py:52-55,2939-2956`; the submodule is not checked
-in). This module re-derives the same physics as one fused jittable kernel:
+``simulate_fog`` from the ICCV'21 "Fog Simulation on Real LiDAR Point Clouds
+for 3D Object Detection" submodule, called exactly as
 
-Hard-target channel: the received power of the original return is attenuated
-by two-way extinction through fog, ``P_hard ∝ i · exp(-2 α d)``.
+    p = ParameterSet(gamma=1e-6, gamma_min=1e-7, gamma_max=1e-5,
+                     gamma_scale=1e7); p.beta_0 = p.gamma / np.pi
+    pc, simulated_fog_pc, info_dict = simulate_fog(p, pc, noise=10,
+                                                   gain=True,
+                                                   noise_variant='v4')
 
-Soft-target channel: the fog volume itself back-scatters the pulse. Its
-time-resolved response is the pulse-shape convolution
+(`pointcloud_viewer.py:52,274-279,2944-2951`), with
+``info_dict = {min_fog_response, max_fog_response, num_fog_responses}``.
+The submodule itself is not checked into the reference snapshot, so the
+physics here follows the paper's radiometric model (the equations the
+submodule implements); the call contract is matched exactly and the noise
+variants are documented approximations (see PARITY.md).
 
-    P_soft(R) = C_A · β · ∫ sin²(π ξ /(c τ_H)) · ξ_overlap(r) · e^{-2αr} / r² dr
+Model (paper eq. 5-10, per point with measured intensity i at range r0):
 
-evaluated once per scan on a fixed range grid (a single (bins, taps) windowed
-reduction — fixed shapes, no data-dependent control flow). Points whose
-soft-channel peak exceeds their attenuated hard return are replaced by a fog
-return at the soft-peak range (jittered per point), label 2; survivors keep
-their geometry with the attenuated intensity.
+- Hard channel: two-way extinction, ``i_hard = i * exp(-2 alpha r0)``.
+- Soft channel: the fog volume back-scatters the pulse; its time-resolved
+  response is the pulse-shape convolution
 
-Standard fog relations used (paper/submodule convention):
-MOR = ln(20)/α, β = 0.046/MOR.
+      S(R) = beta * INT sin^2(pi xi/(c tau_H)) * xi_overlap(r) *
+             e^{-2 alpha r} / r^2 dr
+
+  precomputed once on the quantized range grid (fixed shapes). The sensor's
+  intensity calibration maps a beta_0 = gamma/pi reflectivity target to its
+  count value, so the fog response in counts is ``i_soft =
+  prefixmax(S)(r0) / beta_0`` — target-independent, truncated to ranges
+  BEFORE the target (nearer targets see less of the fog column), and
+  inversely scaled by the viewer's gamma knob.
+- A point whose ``i_soft > i_hard`` is replaced by a fog return at the
+  prefix-argmax range (plus measurement noise, variant-dependent), label 2;
+  survivors keep their geometry with the attenuated intensity.
+- ``gain=True`` rescales the augmented cloud's intensities to a 255 peak.
+
+Standard fog relations: MOR = ln(20)/alpha, beta = 0.046/MOR.
 """
 
 from __future__ import annotations
@@ -38,26 +55,27 @@ from lidar_snow_sim_tpu.config import SPEED_OF_LIGHT
 
 @dataclasses.dataclass(frozen=True)
 class FogParameterSet:
-    """Fog + sensor parameters (mirrors the submodule's ParameterSet knobs).
+    """Fog + sensor parameters (hashable; jit-static).
 
     alpha: extinction coefficient [1/m]. MOR and beta derive from it unless
-    beta is given explicitly.
+    beta is given explicitly; beta_0 derives from gamma unless given.
     """
 
     alpha: float = 0.06
     beta: float | None = None
+    # differential reflectivity calibration (viewer: gamma=1e-6 and
+    # beta_0 = gamma/pi, `pointcloud_viewer.py:274-279`)
+    gamma: float = 1e-6
+    beta_0: float | None = None
     # sensor model (HDL-64E-like, matching the snowfall engine's constants)
     tau_h: float = 1e-8          # pulse width [s]
     lidar_range: float = 120.0
     intervals_per_meter: int = 10
-    beta_0: float = 1e-6 / math.pi  # hard-target differential reflectivity
     xsi_r1: float = 0.9          # receiver overlap ramp (simulation.py:553)
     xsi_r2: float = 1.0
-    # fog-return randomization
-    range_jitter: float = 0.3    # +/- m uniform jitter on the soft-peak range
-    intensity_jitter: float = 0.1
-    noise: float = 10.0          # detection threshold on the intensity scale
-    fog_reflectivity: float = 0.9  # intensity scale assigned to fog returns
+    # measurement noise on the fog-return range (see simulate_fog)
+    noise: float = 10.0
+    noise_variant: str = "v4"
 
     @property
     def mor(self) -> float:
@@ -69,6 +87,10 @@ class FogParameterSet:
         return self.beta if self.beta is not None else 0.046 / self.mor
 
     @property
+    def beta_0_eff(self) -> float:
+        return self.beta_0 if self.beta_0 is not None else self.gamma / math.pi
+
+    @property
     def num_bins(self) -> int:
         m = self.lidar_range * self.intervals_per_meter
         return int(
@@ -76,12 +98,60 @@ class FogParameterSet:
         )
 
 
+class ParameterSet:
+    """Mutable kwargs-style parameter bag mirroring the submodule's
+    ``ParameterSet`` construction pattern (`pointcloud_viewer.py:274-279`):
+    any keyword becomes an attribute, and derived attributes (mor, beta,
+    beta_0) may be overwritten after construction, exactly like the viewer's
+    ``p.beta_0 = p.gamma / np.pi``."""
+
+    def __init__(self, **kwargs):
+        self.alpha = 0.06
+        self.alpha_min = 0.003
+        self.alpha_max = 0.5
+        self.alpha_scale = 1000
+        self.gamma = 1e-6
+        self.gamma_min = 1e-7
+        self.gamma_max = 1e-5
+        self.gamma_scale = 1e7
+        self.mor = math.log(20.0) / self.alpha
+        self.beta = 0.046 / self.mor
+        self.beta_0 = self.gamma / math.pi
+        self.tau_h = 1e-8
+        self.lidar_range = 120.0
+        self.intervals_per_meter = 10
+        self.xsi_r1 = 0.9
+        self.xsi_r2 = 1.0
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+        # re-derive when alpha/gamma came in via kwargs without overrides
+        if "alpha" in kwargs and "mor" not in kwargs:
+            self.mor = math.log(20.0) / self.alpha
+        if "alpha" in kwargs and "beta" not in kwargs:
+            self.beta = 0.046 / self.mor
+        if "gamma" in kwargs and "beta_0" not in kwargs:
+            self.beta_0 = self.gamma / math.pi
+
+    def frozen(self, noise: float = 10.0,
+               noise_variant: str = "v4") -> FogParameterSet:
+        return FogParameterSet(
+            alpha=self.alpha, beta=self.beta, gamma=self.gamma,
+            beta_0=self.beta_0, tau_h=self.tau_h,
+            lidar_range=self.lidar_range,
+            intervals_per_meter=self.intervals_per_meter,
+            xsi_r1=self.xsi_r1, xsi_r2=self.xsi_r2,
+            noise=noise, noise_variant=noise_variant,
+        )
+
+
 class FogResult(NamedTuple):
     points: jax.Array       # (N, 5) augmented; label col: 0 kept, 2 fog
-    keep: jax.Array         # (N,) survives detection threshold
+    keep: jax.Array         # (N,) valid input points (none removed)
     num_scattered: jax.Array
     num_attenuated: jax.Array
     num_removed: jax.Array
+    min_fog_response: jax.Array   # over replaced points, intensity scale
+    max_fog_response: jax.Array
     soft_response: jax.Array  # (bins,) shared fog response curve (diagnostic)
 
 
@@ -92,8 +162,8 @@ def _xsi(r, r1, r2):
 def soft_response_curve(p: FogParameterSet):
     """Fog soft-channel response on the quantized range grid (jittable).
 
-    Returns (grid_ranges, response) — response is normalized to the same
-    C_A·P_0 scale as the hard channel so the two are directly comparable.
+    Returns (grid_ranges, response); response = beta * C(R) with C the
+    pulse-convolution integral, i.e. the fog return of a unit-CA_P0 target.
     """
     ipm = p.intervals_per_meter
     c_tau = SPEED_OF_LIGHT * p.tau_h
@@ -118,115 +188,184 @@ def soft_response_curve(p: FogParameterSet):
     return r_grid, p.beta_eff * resp
 
 
-def simulate_fog(p: FogParameterSet, points, mask, key):
+def fog_augment(p: FogParameterSet, points, mask, key):
     """Jittable fog augmentation of a padded (N, 5) scan.
 
-    Mirrors the submodule's ``simulate_fog(ParameterSet, pc, noise)`` contract:
-    returns the augmented cloud (same shape, label column rewritten), plus
-    counters. Compact with ``points[keep]`` on host.
+    Per-point hard vs soft channel competition (module docstring); returns
+    the augmented cloud (same shape, label column rewritten) plus the
+    info-dict counters. No points are removed (the submodule keeps all).
     """
     xyz = points[:, :3]
     intensity = points[:, 3]
     d = jnp.linalg.norm(xyz, axis=-1)
     d_safe = jnp.maximum(d, 1e-6)
+    ipm = p.intervals_per_meter
 
     r_grid, soft = soft_response_curve(p)
-    peak_idx = jnp.argmax(soft)
-    soft_peak = soft[peak_idx]
-    r_fog = r_grid[peak_idx]
+    # running max/argmax: the best fog return at ranges BEFORE the target
+    def scanf(carry, x):
+        best, bidx, i = carry
+        take = x > best
+        carry = (
+            jnp.where(take, x, best),
+            jnp.where(take, i, bidx),
+            i + 1,
+        )
+        return carry, (carry[0], carry[1])
 
-    # hard channel on the same C_A·P_0-normalized scale as the soft curve:
-    # the target's differential reflectivity is (i/255)/π sr⁻¹ (Lambertian,
-    # intensity-calibrated), attenuated two-way and range-normalized.
-    hard = (
-        (intensity / 255.0)
-        / jnp.pi
+    _, (pmax, pargmax) = jax.lax.scan(
+        scanf, (jnp.float32(-1.0), jnp.int32(0), jnp.int32(0)), soft
+    )
+
+    idx = jnp.clip((d_safe * ipm).astype(jnp.int32), 0, soft.shape[0] - 1)
+    # Per-point soft response (power units): the best fog return at ranges
+    # before the target. Nearer targets see less of the fog column.
+    p_soft = pmax[idx]
+    r_fog = pargmax[idx].astype(jnp.float32) / ipm
+
+    # Hard response in the same power units: the target's differential
+    # reflectivity comes from its measured intensity through the gamma
+    # calibration, normalized so the viewer default gamma = 1e-6 maps
+    # i = 255 to a perfect Lambertian target (beta_0_i = (i/255)/pi). The
+    # viewer's gamma slider then scales targets against the fog linearly:
+    # larger gamma -> brighter calibration -> fewer fog replacements.
+    gamma_rel = p.gamma / 1e-6
+    beta_0_i = (intensity / 255.0) * gamma_rel / jnp.pi
+    p_hard = (
+        beta_0_i
         * _xsi(d_safe, p.xsi_r1, p.xsi_r2)
         * jnp.exp(-2.0 * p.alpha * d_safe)
         / d_safe**2
     )
-    # only points beyond the fog peak can be occluded by it
-    fogged = mask & (soft_peak > hard) & (d > r_fog)
+    fogged = mask & (p_soft > p_hard) & (d > 1e-3)
+    i_soft = p_soft  # power-unit response, reported in the info dict
 
-    k1, k2 = jax.random.split(key)
-    jit_r = jax.random.uniform(
-        k1, d.shape, minval=-p.range_jitter, maxval=p.range_jitter
-    )
-    jit_i = jax.random.uniform(
-        k2, d.shape, minval=-p.intensity_jitter, maxval=p.intensity_jitter
-    )
-    r_new = jnp.clip(r_fog + jit_r, 0.5, p.lidar_range)
+    # measurement noise on the fog range. The submodule's exact variants are
+    # not reproducible without its source (PARITY.md); these implement the
+    # documented intent: v1/v2 absolute (uniform/gaussian) at `noise` tenth-
+    # bins, v3/v4 the same scaled by r_fog / MOR (far fog = noisier).
+    amp = p.noise / ipm
+    u = jax.random.uniform(key, d.shape, minval=-1.0, maxval=1.0)
+    g = jax.random.normal(jax.random.fold_in(key, 1), d.shape)
+    rel = r_fog / p.mor
+    noise_r = {
+        "v1": amp * u,
+        "v2": amp * g,
+        "v3": amp * u * rel,
+        "v4": amp * g * rel,
+    }[p.noise_variant]
+    r_new = jnp.clip(r_fog + noise_r, 0.3, p.lidar_range)
+
     scale = jnp.where(fogged, r_new / d_safe, 1.0)
     new_xyz = xyz * scale[:, None]
-
-    i_att = intensity * jnp.exp(-2.0 * p.alpha * d_safe)
-    # fog-return intensity: the soft channel's share of the total response,
-    # on the fog reflectivity scale, with per-point jitter
+    # fog-return counts: the soft power pushed back through the inverse of
+    # the same intensity calibration at the return's apparent range
     i_fog = jnp.clip(
-        255.0
-        * p.fog_reflectivity
-        * (soft_peak / (soft_peak + hard + 1e-12))
-        * (1.0 + jit_i),
-        0.0,
-        255.0,
+        255.0 * jnp.pi * p_soft * r_new**2
+        / (gamma_rel * jnp.maximum(_xsi(r_new, p.xsi_r1, p.xsi_r2), 0.05)),
+        0.0, 255.0,
     )
+    i_att = intensity * jnp.exp(-2.0 * p.alpha * d_safe)
     new_i = jnp.where(fogged, i_fog, i_att)
 
-    keep = mask & (new_i > p.noise)
     label = jnp.where(fogged, 2.0, 0.0)
     out = jnp.concatenate(
         [new_xyz, new_i[:, None], label[:, None]], axis=1
     )
-    num_scattered = jnp.sum(keep & fogged).astype(jnp.int32)
-    num_attenuated = jnp.sum(keep & ~fogged & (new_i < intensity)).astype(
-        jnp.int32
-    )
-    num_removed = jnp.sum(mask & ~keep).astype(jnp.int32)
+    resp = jnp.where(fogged, i_soft, jnp.nan)
     return FogResult(
         points=out,
-        keep=keep,
-        num_scattered=num_scattered,
-        num_attenuated=num_attenuated,
-        num_removed=num_removed,
+        keep=mask,
+        num_scattered=jnp.sum(fogged).astype(jnp.int32),
+        num_attenuated=jnp.sum(
+            mask & ~fogged & (new_i < intensity)
+        ).astype(jnp.int32),
+        num_removed=jnp.int32(0),
+        min_fog_response=jnp.nanmin(resp),
+        max_fog_response=jnp.nanmax(resp),
         soft_response=soft,
     )
 
 
-def simulate_fog_pc(p: FogParameterSet, pc: np.ndarray, noise: float = 10.0,
-                    seed: int = 0):
-    """Host-facing call matching the submodule's ``simulate_fog(p, pc,
-    noise)`` argument order (`pointcloud_viewer.py:2944`): returns
-    (augmented cloud, fog-scattered points, info dict)."""
-    aug, stats = FogAugmenter(
-        dataclasses.replace(p, noise=noise), seed=seed
-    )(pc)
-    return aug, aug[aug[:, 4] == 2.0], stats
-
-
 class FogAugmenter:
-    """Host-facing wrapper mirroring ``simulate_fog(p, pc, noise)``."""
+    """Host-facing wrapper; returns (augmented cloud, stats dict)."""
 
     def __init__(self, params: FogParameterSet | None = None, seed: int = 0):
         self.params = params or FogParameterSet()
         self.seed = seed
-        self._fn = jax.jit(simulate_fog, static_argnames=("p",))
+        self._fn = jax.jit(fog_augment, static_argnames=("p",))
 
-    def __call__(self, pc: np.ndarray):
+    def run(self, pc: np.ndarray):
         from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
 
         n = pc.shape[0]
         cap = 1 << max(int(np.ceil(np.log2(max(n, 2)))), 1)
         padded = pad_cloud(np.asarray(pc), cap)
-        res = self._fn(
-            self.params,
-            jnp.asarray(padded.points),
-            jnp.asarray(padded.mask),
-            jax.random.PRNGKey(self.seed),
+        res = jax.device_get(
+            self._fn(
+                self.params,
+                jnp.asarray(padded.points),
+                jnp.asarray(padded.mask),
+                jax.random.PRNGKey(self.seed),
+            )
         )
-        res = jax.device_get(res)
+        return res
+
+    def __call__(self, pc: np.ndarray):
+        res = self.run(pc)
         stats = {
             "num_scattered": int(res.num_scattered),
             "num_attenuated": int(res.num_attenuated),
             "num_removed": int(res.num_removed),
         }
         return res.points[res.keep], stats
+
+
+def simulate_fog(p, pc: np.ndarray, noise: float, gain: bool = False,
+                 noise_variant: str = "v1", seed: int = 0):
+    """EXACT reference call contract (`pointcloud_viewer.py:2944-2951`):
+
+        pc, simulated_fog_pc, info_dict = simulate_fog(p, pc, noise, gain,
+                                                       noise_variant)
+
+    p is a ParameterSet (mutable shim) or FogParameterSet; returns the
+    augmented (N, >=5) cloud (all rows kept, label column rewritten), the
+    fog-scattered subset, and info_dict with the reference's keys
+    min_fog_response / max_fog_response / num_fog_responses (-inf/0 style
+    sentinels replaced by the reference's "no responses" convention).
+    """
+    if isinstance(p, ParameterSet):
+        fp = p.frozen(noise=noise, noise_variant=noise_variant)
+    else:
+        fp = dataclasses.replace(
+            p, noise=noise, noise_variant=noise_variant
+        )
+    res = FogAugmenter(fp, seed=seed).run(np.asarray(pc))
+    aug = res.points[res.keep]
+    num = int(res.num_scattered)
+    if gain and len(aug):
+        peak = float(aug[:, 3].max())
+        if peak > 0:
+            aug = aug.copy()
+            aug[:, 3] *= 255.0 / peak
+    fog_pc = aug[aug[:, 4] == 2.0]
+    info = {
+        "min_fog_response": float(res.min_fog_response) if num else np.inf,
+        "max_fog_response": float(res.max_fog_response) if num else 0.0,
+        "num_fog_responses": num,
+    }
+    return aug, fog_pc, info
+
+
+def simulate_fog_pc(p: FogParameterSet, pc: np.ndarray, noise: float = 10.0,
+                    seed: int = 0):
+    """Back-compat alias of `simulate_fog` returning stats-dict style info."""
+    fp = dataclasses.replace(p, noise=noise)
+    res = FogAugmenter(fp, seed=seed).run(np.asarray(pc))
+    aug = res.points[res.keep]
+    stats = {
+        "num_scattered": int(res.num_scattered),
+        "num_attenuated": int(res.num_attenuated),
+        "num_removed": int(res.num_removed),
+    }
+    return aug, aug[aug[:, 4] == 2.0], stats

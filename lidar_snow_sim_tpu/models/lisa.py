@@ -103,13 +103,23 @@ class LISA:
 
     def Nd(self, D, Rr):
         """Particle-size distribution [m⁻³ mm⁻¹] at diameter D [mm] for
-        precipitation rate Rr [mm/h], by mode:
+        precipitation rate Rr [mm/h], by mode. Constants are the PUBLISHED
+        exponential-DSD fits (not invented):
 
-        - rain: Marshall–Palmer, N₀ = 8000, Λ = 4.1·Rr^-0.21
-        - snow: Gunn–Marshall, N₀ = 3800·Rr^-0.87, Λ = 2.55·Rr^-0.48
-          (25.5 cm⁻¹ in the reference's sampling units, sampling.py:81-87)
-        - fog:  droplet field with a modal-diameter gamma-like profile; Rr is
-          reused as a density knob (as the submodule does for its fog presets)
+        - rain: Marshall & Palmer 1948 (J. Meteor. 5), N₀ = 8000 m⁻³ mm⁻¹,
+          Λ = 4.1·Rr^-0.21 mm⁻¹ — the distribution LISA's paper (Kilic et
+          al., arXiv 2107.07004, eq. 11) uses for rain.
+        - snow 'gunn': Gunn & Marshall 1958 (J. Meteor. 15),
+          N₀ = 3800·Rr^-0.87 m⁻³ mm⁻¹, Λ = 2.55·Rr^-0.48 mm⁻¹ — the same
+          Λ as the reference's sampling.py:81-87 (25.5 cm⁻¹ = 2.55 mm⁻¹;
+          tested equal in tests/test_weather_baselines.py).
+        - snow 'sekhon': Sekhon & Srivastava 1970 (J. Atmos. Sci. 27),
+          N₀ = 2500·Rr^-0.94, Λ = 2.29·Rr^-0.45 mm⁻¹ (= sampling.py:72-79's
+          22.9 cm⁻¹).
+        - fog: modal-diameter gamma-like profile (Rasshofer-style modified
+          gamma family); Rr is reused as a density knob. The submodule's
+          exact fog presets are not reproducible here (source unavailable,
+          PARITY.md).
         """
         D = np.asarray(D)
         if self.mode in ("snow", "gunn"):

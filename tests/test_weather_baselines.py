@@ -93,6 +93,64 @@ def test_simulate_fog_pc_reference_signature(cloud):
     assert (fog_pts[:, 4] == 2.0).all()
 
 
+def test_simulate_fog_exact_viewer_contract(cloud):
+    """The viewer's EXACT call pattern (`pointcloud_viewer.py:274-279,
+    2944-2951`): mutable ParameterSet kwargs + post-hoc beta_0 assignment,
+    simulate_fog(p, pc, noise, gain, noise_variant) -> (pc, fog_pc, info)
+    with the three reference info keys."""
+    from lidar_snow_sim_tpu.models.fog import ParameterSet, simulate_fog
+
+    p = ParameterSet(
+        gamma=0.000001, gamma_min=0.0000001, gamma_max=0.00001,
+        gamma_scale=10000000,
+    )
+    p.beta_0 = p.gamma / np.pi
+    p.alpha = 0.06
+
+    aug, fog_pc, info = simulate_fog(p, cloud, 10, True, "v4")
+    assert set(info) == {
+        "min_fog_response", "max_fog_response", "num_fog_responses"
+    }
+    assert len(aug) == len(cloud)           # fog removes nothing
+    assert info["num_fog_responses"] == len(fog_pc) > 0
+    assert info["max_fog_response"] >= info["min_fog_response"] > 0
+    # gain=True rescales the augmented cloud's intensity peak to 255
+    assert abs(float(aug[:, 3].max()) - 255.0) < 1e-3
+    # derived quantities follow the submodule's conventions
+    assert abs(p.mor - np.log(20) / p.alpha) < 1e-9
+    assert abs(p.beta - 0.046 / p.mor) < 1e-9
+
+
+def test_fog_per_point_soft_channel_physics(cloud):
+    """Radiometric consistency of the per-point competition: a LOW
+    reflectivity target at long range must fog over before a HIGH one at
+    the same range, and the fog range must sit before the target."""
+    from lidar_snow_sim_tpu.models.fog import FogAugmenter
+
+    pts = np.array(
+        [
+            [10.0, 0.0, 0.0, 5.0, 0],     # dim target -> fogged
+            [10.0, 0.1, 0.0, 250.0, 0],   # bright target, same range -> kept
+        ],
+        np.float32,
+    )
+    # gamma = 1e-5 (the viewer slider's bright end) weakens the relative fog
+    # response so the competition threshold falls between the two targets
+    aug, stats = FogAugmenter(FogParameterSet(alpha=0.06, gamma=1e-5))(pts)
+    assert aug[0, 4] == 2.0 and aug[1, 4] == 0.0
+    assert np.linalg.norm(aug[0, :3]) < 10.0
+    # survivor keeps geometry, attenuated two-way
+    np.testing.assert_allclose(aug[1, :3], pts[1, :3], rtol=1e-6)
+    expected = 250.0 * np.exp(-2 * 0.06 * np.linalg.norm(pts[1, :3]))
+    np.testing.assert_allclose(aug[1, 3], expected, rtol=1e-4)
+    # stronger gamma calibration -> strictly fewer fog replacements
+    n_fog = []
+    for gamma in (1e-7, 1e-6, 1e-5):
+        a, s = FogAugmenter(FogParameterSet(alpha=0.03, gamma=gamma))(pts)
+        n_fog.append(s["num_scattered"])
+    assert n_fog[0] >= n_fog[1] >= n_fog[2]
+
+
 # ---------------- STF fog ----------------
 
 
@@ -203,6 +261,30 @@ def test_lisa_heavier_rain_more_perturbation(cloud):
         heavy["num_lost"] + heavy["num_scattered"]
         > light["num_lost"] + light["num_scattered"]
     )
+
+
+def test_lisa_dsd_constants_match_reference_sampling():
+    """LISA's snow DSD rate parameters must equal the reference's
+    sampling.py:72-87 fits (25.5 / 22.9 cm^-1 = 2.55 / 2.29 mm^-1), tying
+    the two independent implementations to the same published constants."""
+    from lidar_snow_sim_tpu.sampling.distributions import (
+        gunn_marshall,
+        sekhon_srivastava,
+    )
+
+    for rr in (1.0, 5.0, 25.0):
+        lg = LISA(mode="gunn")
+        d = np.array([1.0, 3.0])
+        ratio = lg.Nd(d[1], rr) / lg.Nd(d[0], rr)
+        lam_mm = -np.log(ratio) / (d[1] - d[0])
+        np.testing.assert_allclose(lam_mm * 10, gunn_marshall(rr), rtol=1e-6)
+
+        ls = LISA(mode="sekhon")
+        ratio = ls.Nd(d[1], rr) / ls.Nd(d[0], rr)
+        lam_mm = -np.log(ratio) / (d[1] - d[0])
+        np.testing.assert_allclose(
+            lam_mm * 10, sekhon_srivastava(rr), rtol=1e-6
+        )
 
 
 # ---------------- DROR ----------------
