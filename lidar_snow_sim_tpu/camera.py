@@ -25,28 +25,12 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
-# Default DENSE (SeeingThroughFog) HDL-64 rig: camera 1920x1024, ~8 mm lens on
-# a 1/1.8" sensor, LiDAR roughly level with and behind/above the camera. Used
-# when no KITTI-format calib file is supplied; the geometry reproduces the
-# reference's intent (forward ~90 deg horizontal FOV crop) without shipping the
-# submodule's data file. Load a real `calib_hdl64.txt` for exact parity.
-_DEFAULT_P2 = np.array(
-    [
-        [2355.0, 0.0, 988.0, 0.0],
-        [0.0, 2355.0, 508.0, 0.0],
-        [0.0, 0.0, 1.0, 0.0],
-    ]
-)
-_DEFAULT_R0 = np.eye(3)
-# LiDAR x-forward/y-left/z-up -> camera z-forward/x-right/y-down, camera
-# mounted 0.4 m below and 1.0 m behind the LiDAR origin.
-_DEFAULT_V2C = np.array(
-    [
-        [0.0, -1.0, 0.0, 0.0],
-        [0.0, 0.0, -1.0, -0.4],
-        [1.0, 0.0, 0.0, 1.0],
-    ]
-)
+# Default DENSE (SeeingThroughFog) HDL-64 rig: shipped as a KITTI-format data
+# file (data/calib_hdl64.txt — P2 intrinsics from the public STF
+# calib_cam_stereo_left.json, extrinsic translations reconstructed; see the
+# file header for provenance). Replace it with the submodule's original
+# `lib/OpenPCDet/data/dense/calib_hdl64.txt` for exact parity.
+DEFAULT_CALIB_FILE = Path(__file__).parent / "data" / "calib_hdl64.txt"
 
 DEFAULT_IMG_SHAPE = (1024, 1920)  # (H, W), simulation.py:536
 
@@ -56,7 +40,7 @@ def _read_kitti_calib(path: str | Path) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     for line in Path(path).read_text().splitlines():
         line = line.strip()
-        if not line or ":" not in line:
+        if not line or line.startswith("#") or ":" not in line:
             continue
         key, vals = line.split(":", 1)
         try:
@@ -89,7 +73,10 @@ class CameraCalibration:
 
     @classmethod
     def default_dense_hdl64(cls) -> "CameraCalibration":
-        return cls(P2=_DEFAULT_P2, R0=_DEFAULT_R0, V2C=_DEFAULT_V2C)
+        """The DENSE rig from the shipped data file — same loader path as
+        any user-supplied KITTI calib (reference `get_calib`,
+        `simulation.py:32-36`)."""
+        return cls.from_file(DEFAULT_CALIB_FILE)
 
     # --- fused transforms (host precompute, device matmul) ---
 

@@ -1,6 +1,7 @@
 """Camera calibration / FOV filter tests (reference simulation.py:32-47)."""
 
 import numpy as np
+import pytest
 
 from lidar_snow_sim_tpu.camera import (
     CameraCalibration,
@@ -39,6 +40,36 @@ def test_kitti_calib_roundtrip(tmp_path):
     # proj_z - P2[2,3] == rect z. Distinguishable because P2[2,3] != 0 here.
     np.testing.assert_allclose(img, proj[:, :2] / rect[:, 2:3], rtol=1e-4)
     np.testing.assert_allclose(depth, rect[:, 2], rtol=1e-5)
+
+
+def test_default_rig_is_shipped_data_file():
+    """The default DENSE rig loads from data/calib_hdl64.txt through the
+    same KITTI parser as user calibs, with the documented STF stereo-left
+    intrinsics, and projects hand-computed pixels."""
+    from lidar_snow_sim_tpu.camera import DEFAULT_CALIB_FILE
+
+    assert DEFAULT_CALIB_FILE.exists()
+    calib = CameraCalibration.default_dense_hdl64()
+    assert calib.fu == calib.fv == pytest.approx(2355.722744)
+    assert calib.cu == pytest.approx(988.138054)
+    assert calib.cv == pytest.approx(508.051838)
+    np.testing.assert_array_equal(calib.R0, np.eye(3))
+
+    # a point straight ahead on the optical axis projects to the principal
+    # point: lidar (d, 0, -0.4) + 1 m forward offset -> camera (0, 0, d+1)
+    pts = np.array([[20.0, 0.0, -0.4]], np.float32)
+    img, depth = calib.lidar_to_img(pts)
+    img, depth = np.asarray(img), np.asarray(depth)
+    np.testing.assert_allclose(img[0], [988.138054, 508.051838], atol=1e-2)
+    np.testing.assert_allclose(depth[0], 21.0, rtol=1e-6)
+
+    # hand-computed off-axis projection: lidar (20, 2, 0.6) ->
+    # camera (x=-2, y=-1, z=21) -> u = cu - 2 fu / 21, v = cv - fv / 21
+    pts = np.array([[20.0, 2.0, 0.6]], np.float32)
+    img, _ = calib.lidar_to_img(pts)
+    u = 988.138054 - 2 * 2355.722744 / 21.0
+    v = 508.051838 - 2355.722744 / 21.0
+    np.testing.assert_allclose(np.asarray(img)[0], [u, v], atol=1e-2)
 
 
 def test_fov_flag_semantics():
