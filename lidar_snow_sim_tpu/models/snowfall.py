@@ -518,9 +518,10 @@ def snowfall_augment_dense(
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
             xyz_blk, row_of_chunk, lo.astype(jnp.int32),
             bank.count.astype(jnp.int32), bank.data_t, bank.wide_t,
-        )
-        occ_valid = occ_valid & valid_blk[:, :, None]
+        )                                          # (n_chunks, K, blk) each
+        occ_valid = occ_valid & valid_blk[:, None, :]
         occ_of = jnp.sum(jnp.where(valid_blk, occ_of_pts, 0))
+        k_major = True
     else:
         lo = jnp.clip(lo_raw, 0, max(k_ext - w_sl, 0))
         cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_sl), 0))
@@ -551,22 +552,37 @@ def snowfall_augment_dense(
             lambda t: jax.vmap(one_chunk)(t),
             (g(xyz_blk), g(valid_blk), g(row_of_chunk), g(lo)),
         )
+        k_major = False
     n2 = n_chunks * blk
     k_occ = cfg.max_occluders
-    occ_a1 = occ_a1.reshape(n2, k_occ)
-    occ_a2 = occ_a2.reshape(n2, k_occ)
-    occ_dist = occ_dist.reshape(n2, k_occ)
-    occ_valid = occ_valid.reshape(n2, k_occ)
+    if k_major:
+        # keep the kernel's lane-major (n_chunks, K, blk) layout: a
+        # point-major (n2, K) copy would pad the 24-lane minor dim to 128
+        # (5.3x HBM waste, 4 arrays, at full n2 scale). Point-major slices
+        # are produced only AFTER compaction, at cap scale.
+        any_occ = jnp.any(occ_valid, axis=1).reshape(n2)
+
+        def gather_c(arr, ci):
+            km = arr.transpose(1, 0, 2).reshape(k_occ, n2)   # minor = blk
+            return km[:, ci].T                               # (cap, K)
+    else:
+        occ_a1 = occ_a1.reshape(n2, k_occ)
+        occ_a2 = occ_a2.reshape(n2, k_occ)
+        occ_dist = occ_dist.reshape(n2, k_occ)
+        occ_valid = occ_valid.reshape(n2, k_occ)
+        any_occ = jnp.any(occ_valid, axis=1)
+
+        def gather_c(arr, ci):
+            return arr[ci]
 
     # --- phase B: compact points with >= 1 occluder ---
     cap = cfg.compact_capacity or max(n2 // 4, cfg.pulse_chunk)
     assert cap % cfg.pulse_chunk == 0, (
         "compact_capacity must be divisible by pulse_chunk"
     )
-    occluded = jnp.any(occ_valid, axis=1)
-    n_occluded = jnp.sum(occluded)
+    n_occluded = jnp.sum(any_occ)
     compact_overflow = jnp.maximum(n_occluded - cap, 0)
-    cidx = jnp.nonzero(occluded, size=cap, fill_value=n2)[0]
+    cidx = jnp.nonzero(any_occ, size=cap, fill_value=n2)[0]
     c_ok = cidx < n2
     ci = jnp.clip(cidx, 0, n2 - 1)
 
@@ -576,7 +592,7 @@ def snowfall_augment_dense(
     c_int = s_int.reshape(n2)[ci]
 
     # --- phase C: sweep + pulse re-simulation on the compacted set ---
-    c_occ_valid = occ_valid[ci] & c_ok[:, None]
+    c_occ_valid = gather_c(occ_valid, ci) & c_ok[:, None]
     if use_pallas:
         from lidar_snow_sim_tpu.ops.pallas_pulse import make_pallas_pulse_phase
 
@@ -592,19 +608,17 @@ def snowfall_augment_dense(
         )
         c_max = max_int_lut[c_ch]
         feats = jnp.stack([c_d, c_right, c_left, 0.9 * c_max], axis=-1)
-        c_a1 = occ_a1[ci]
-        c_a2 = occ_a2[ci]
-        c_rr = occ_dist[ci]
-        occ5 = jnp.stack(
-            [c_a1, c_a2, c_rr, c_occ_valid.astype(jnp.float32),
-             jnp.zeros_like(c_a1)],
-            axis=-1,
-        )                                                     # (cap, K, 5)
+        c_a1 = gather_c(occ_a1, ci)
+        c_a2 = gather_c(occ_a2, ci)
+        c_rr = gather_c(occ_dist, ci)
+        c_valid_f = c_occ_valid.astype(jnp.float32)
+        # occluder properties stay SEPARATE (cap, K) planes: stacking them
+        # on a trailing size-5/2 axis makes that axis the HBM minormost dim,
+        # which pads 128x under (8, 128) tiling (3 GB of temps at batch 16)
         phase = (2.0 * jnp.pi / c_tau)
         all_r = jnp.concatenate([c_rr, c_d[:, None]], axis=1)  # (cap, K+1)
-        trig = jnp.stack(
-            [jnp.cos(phase * all_r), jnp.sin(phase * all_r)], axis=-1
-        )
+        cos_b = jnp.cos(phase * all_r)
+        sin_b = jnp.sin(phase * all_r)
         gph = phase * range_grid
         run_pulse = make_pallas_pulse_phase(
             blk=pblk, k_occ=k_occ, beam_rad=cfg.beam_divergence_rad,
@@ -613,7 +627,8 @@ def snowfall_augment_dense(
         )
         pb = lambda a: a.reshape((cap // pblk, pblk) + a.shape[1:])
         i_peak, peak_idx, touched_any, _rem = run_pulse(
-            pb(feats), pb(occ5), pb(trig), jnp.cos(gph), jnp.sin(gph)
+            pb(feats), pb(c_a1), pb(c_a2), pb(c_rr), pb(c_valid_f),
+            pb(cos_b), pb(sin_b), jnp.cos(gph), jnp.sin(gph)
         )
         i_peak = i_peak.reshape(cap)
         peak_idx = peak_idx.reshape(cap)
@@ -660,7 +675,8 @@ def snowfall_augment_dense(
             pulse_chunk_fn,
             (
                 pc_(c_xyz), pc_(c_int), pc_(c_ok),
-                pc_(occ_a1[ci]), pc_(occ_a2[ci]), pc_(occ_dist[ci]),
+                pc_(gather_c(occ_a1, ci)), pc_(gather_c(occ_a2, ci)),
+                pc_(gather_c(occ_dist, ci)),
                 pc_(c_occ_valid),
                 pc_(min_int_lut[c_ch]), pc_(max_int_lut[c_ch]),
                 pc_(fs_lut[c_ch]), pc_(fo_lut[c_ch]),

@@ -62,6 +62,19 @@ class BetaRandomization:
         )
         return beta * jnp.maximum(mod, 0.05)
 
+    def propagate_in_time(self, steps: int):
+        """Advect the inhomogeneity field, as the viewer does before
+        foggification (`pointcloud_viewer.py:2963-2964`:
+        ``B.propagate_in_time(10)``). Each step drifts every harmonic's
+        phase by a seeded per-harmonic velocity — the devkit's wind-drift
+        intent with this field parameterization."""
+        rng = np.random.default_rng([self.seed, 0x9E3779B9])
+        velocity = rng.uniform(-0.1, 0.1, self.ks.shape[0]).astype(np.float32)
+        self.phases = (
+            (self.phases + steps * velocity * self.ks) % (2 * np.pi)
+        ).astype(np.float32)
+        return self
+
 
 # drop-in alias matching the reference's (misspelled) class name
 # (`pointcloud_viewer.py:55`)
@@ -76,7 +89,7 @@ class StfFogResult(NamedTuple):
     num_removed: jax.Array
 
 
-def haze_point_cloud(
+def haze_point_cloud_padded(
     points,
     mask,
     beta_coeffs,
@@ -134,15 +147,46 @@ def haze_point_cloud(
     )
 
 
+def haze_point_cloud(pc, randomized_beta, arguments=None, seed: int = 0):
+    """EXACT reference call contract (`pointcloud_viewer.py:2963-2970`):
+
+        B = BetaRadomization(beta=..., seed=0)
+        B.propagate_in_time(10)
+        arguments = Namespace(sensor_type='Velodyne HDL-64E S3D',
+                              fraction_random=0.05)
+        pc = haze_point_cloud(pc, B, arguments)
+        pc = pc[:, :n_features]
+
+    Returns an (M, >=5) array whose columns start [x, y, z, intensity,
+    label] — the viewer truncates back to its own column count. Only the
+    devkit arguments the viewer sets are consumed: ``fraction_random`` and
+    ``sensor_type`` (HDL-64E gain/noise defaults).
+    """
+    pc = np.asarray(pc)
+    fraction_random = getattr(arguments, "fraction_random", 0.05)
+    aug, _ = StfFogAugmenter(
+        beta=randomized_beta.beta, seed=seed,
+        fraction_random=fraction_random,
+        _randomization=randomized_beta,
+    )(pc)
+    if pc.shape[1] > aug.shape[1]:
+        extra = np.zeros((len(aug), pc.shape[1] - aug.shape[1]), aug.dtype)
+        aug = np.concatenate([aug, extra], axis=1)
+    return aug
+
+
 class StfFogAugmenter:
     """Host-facing wrapper mirroring ``haze_point_cloud(pc, BetaRadomization)``."""
 
-    def __init__(self, beta: float = 0.05, seed: int = 0, **kwargs):
-        self.randomization = BetaRandomization(beta, seed=seed)
+    def __init__(self, beta: float = 0.05, seed: int = 0,
+                 _randomization=None, **kwargs):
+        self.randomization = _randomization or BetaRandomization(
+            beta, seed=seed
+        )
         self.kwargs = kwargs
         self.seed = seed
         self._fn = jax.jit(
-            lambda pts, m, coeffs, key: haze_point_cloud(
+            lambda pts, m, coeffs, key: haze_point_cloud_padded(
                 pts, m, coeffs, key, **kwargs
             )
         )

@@ -188,7 +188,11 @@ def make_pallas_occluder_phase(
 
     The returned function takes (xyz_blk, rows, los, counts, bank_data_t,
     bank_wide_t) and returns (a1, a2, dist, valid, overflow) shaped
-    ((n_chunks, blk, K) x 4, (n_chunks, blk)).
+    ((n_chunks, K, blk) x 4, (n_chunks, blk)) — K-MAJOR, i.e. the kernel's
+    native output layout with blk on the lane dim. Transposing to
+    (..., blk, K) here would materialize arrays whose 24-wide minor dim
+    pads to 128 lanes (5.3x HBM waste at n2 scale); callers that need
+    point-major slices should gather first and transpose at compact scale.
     """
     kernel = functools.partial(
         _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
@@ -240,7 +244,6 @@ def make_pallas_occluder_phase(
             ),
             interpret=interpret,
         )(rows, los, counts, feats, bank_data_t, bank_wide_t)
-        tr = lambda v: jnp.swapaxes(v, 1, 2)          # -> (n_chunks, blk, K)
-        return tr(a1), tr(a2), tr(dist), tr(valid) > 0.5, ovf[:, 0, :]
+        return a1, a2, dist, valid > 0.5, ovf[:, 0, :]
 
     return run

@@ -40,8 +40,12 @@ _BIG = 3.0e38
 
 def _kernel(
     feat_ref,      # (1, blk, F) point features (see pulse_features)
-    occ_ref,       # (1, blk, K, 5) occluders: a1, a2, dist, valid, ...
-    trig_ref,      # (1, blk, K + 1, 2) cos/sin(2 pi r / ctau) per bump + tgt
+    a1_ref,        # (1, blk, K) occluder interval starts
+    a2_ref,        # (1, blk, K) occluder interval ends
+    rr_ref,        # (1, blk, K) occluder ranges
+    valid_ref,     # (1, blk, K) f32 0/1 occluder validity
+    cosb_ref,      # (1, blk, K + 1) cos(2 pi r / ctau) per bump + target
+    sinb_ref,      # (1, blk, K + 1) sin per bump + target
     cosg_ref,      # (1, M) grid table cos(2 pi R / ctau)
     sing_ref,      # (1, M) grid table sin
     peak_ref,      # (1, 1, blk) f32 peak value
@@ -57,17 +61,19 @@ def _kernel(
     xsi_r1: float,
     xsi_r2: float,
 ):
+    # properties arrive as SEPARATE (blk, K) planes: a trailing stacked axis
+    # of size 5/2 would tile as the minormost dim in HBM and pad 128x/64x
+    # (measured 3 GB per temp at batch 16 — the whole-sweep OOM)
     feat = feat_ref[0]                      # (blk, F)
     d_orig = feat[:, 0:1]
     right = feat[:, 1:2]
     left = feat[:, 2:3]
     amp_scale = feat[:, 3:4]                # 0.9 * max_intensity per point
 
-    occ = occ_ref[0]                        # (blk, K, 5)
-    a1 = occ[:, :, 0]
-    a2 = occ[:, :, 1]
-    rr = occ[:, :, 2]
-    valid = occ[:, :, 3] > 0.5
+    a1 = a1_ref[0]                          # (blk, K)
+    a2 = a2_ref[0]
+    rr = rr_ref[0]
+    valid = valid_ref[0] > 0.5
 
     # ---- sweep (ops/sweep.occlusion_sweep semantics) ----
     wrapped = right > left
@@ -129,7 +135,6 @@ def _kernel(
     def xsi(r):
         return jnp.clip((r - xsi_r1) / (xsi_r2 - xsi_r1), 0.0, 1.0)
 
-    trig = trig_ref[0]                                          # (blk, K+1, 2)
     cos_g = cosg_ref[0][None, :]                                # (1, M)
     sin_g = sing_ref[0][None, :]
     m_bins = cos_g.shape[1]
@@ -150,8 +155,8 @@ def _kernel(
     # Mosaic has no value dynamic_slice: select bump b's column with a
     # one-hot reduction over the small (blk, K+1) axis instead
     bcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ + 1), 1)
-    cos_b_all = trig[:, :, 0]
-    sin_b_all = trig[:, :, 1]
+    cos_b_all = cosb_ref[0]                                     # (blk, K+1)
+    sin_b_all = sinb_ref[0]
 
     def bump_wave(r_b, amp_b, cb, sb):
         window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
@@ -195,28 +200,35 @@ def make_pallas_pulse_phase(
 ):
     """Build the fused phase-C callable for fixed static shapes.
 
-    Takes (feats (n_blk, blk, 4), occ (n_blk, blk, K, 5),
-    trig (n_blk, blk, K+1, 2), cos_g (M,), sin_g (M,)) and returns
-    (peak, idx, touched, remainder) each (n_blk, blk).
+    Takes (feats (n_blk, blk, 4), a1/a2/rr/valid (n_blk, blk, K) each,
+    cos_b/sin_b (n_blk, blk, K+1), cos_g (M,), sin_g (M,)) and returns
+    (peak, idx, touched, remainder) each (n_blk, blk). Occluder properties
+    are separate planes, NOT a stacked (..., K, 5) array — a trailing
+    size-5/2 axis would be the HBM minormost dim and pad 128x under TPU
+    (8, 128) tiling (3 GB of padded temps per 16-scan batch).
     """
     kernel = functools.partial(
         _kernel, blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm,
         c_tau=c_tau, xsi_r1=xsi_r1, xsi_r2=xsi_r2,
     )
 
-    def run(feats, occ, trig, cos_g, sin_g):
+    def run(feats, a1, a2, rr, valid, cos_b, sin_b, cos_g, sin_g):
         n_blk = feats.shape[0]
         m_bins = cos_g.shape[0]
+        k_spec = pl.BlockSpec(
+            (1, blk, k_occ), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        k1_spec = pl.BlockSpec(
+            (1, blk, k_occ + 1), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
         out = pl.pallas_call(
             kernel,
             grid=(n_blk,),
             in_specs=[
                 pl.BlockSpec((1, blk, feats.shape[2]),
                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk, k_occ, 5),
-                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, blk, k_occ + 1, 2),
-                             lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                k_spec, k_spec, k_spec, k_spec, k1_spec, k1_spec,
                 pl.BlockSpec((1, m_bins), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, m_bins), lambda i: (0, 0),
@@ -238,7 +250,10 @@ def make_pallas_pulse_phase(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(feats, occ, trig, cos_g[None, :], sin_g[None, :])
+        )(
+            feats, a1, a2, rr, valid, cos_b, sin_b,
+            cos_g[None, :], sin_g[None, :],
+        )
         peak, idx, touched, remainder = out
         return (
             peak[:, 0, :], idx[:, 0, :], touched[:, 0, :] > 0.5,

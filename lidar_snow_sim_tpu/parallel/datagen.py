@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
+import zlib
 from pathlib import Path
 from typing import Callable, Iterable, Sequence
 
@@ -72,6 +73,7 @@ def run_snowfall_datagen(
     A `_manifest.json` with the run stats is written next to the outputs.
     """
     import jax
+    import jax.numpy as jnp
 
     from lidar_snow_sim_tpu.models.snowfall import calib_device_arrays
     from lidar_snow_sim_tpu.parallel.batched import (
@@ -87,7 +89,6 @@ def run_snowfall_datagen(
 
     calib_arrays = calib_device_arrays(calib)
     bank_dev = jax.device_put(bank)
-    rng = np.random.default_rng(seed)
 
     def build_step(cfg):
         if mesh is not None:
@@ -200,15 +201,28 @@ def run_snowfall_datagen(
             pts_list.append(pts_list[-1])
             mask_list.append(np.zeros_like(mask_list[-1]))
 
+        # Per-frame randomness is a pure function of (seed, sample id), NOT
+        # a position in a sequential stream — so outputs are byte-identical
+        # across resume-after-interruption, --shard layouts, and batch
+        # boundaries (the reference's unseeded shuffle has no such contract;
+        # SURVEY §4 pins it as injectable).
+        frame_sids = [ids[j][0] if j < len(ids) else f"_pad{j}"
+                      for j in range(batch)]
+        frame_rngs = [
+            np.random.default_rng([seed, zlib.crc32(s.encode())])
+            for s in frame_sids
+        ]
         orders = np.stack(
             [
-                rng.permutation(calib.num_lasers)
+                r.permutation(calib.num_lasers)
                 if shuffle_channels
                 else np.arange(calib.num_lasers)
-                for _ in range(batch)
+                for r in frame_rngs
             ]
         ).astype(np.int32)
-        keys = jax.random.split(jax.random.PRNGKey(rng.integers(2**31)), batch)
+        keys = jnp.stack(
+            [jax.random.PRNGKey(int(r.integers(2**31))) for r in frame_rngs]
+        )
 
         batch_args = (
             np.stack(pts_list), np.stack(mask_list), np.asarray(orders), keys,

@@ -84,3 +84,104 @@ def test_cli_pipeline(tmp_path, calib):
          "--bev", str(bev)]
     ) == 0
     assert bev.exists() and bev.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_precompute_full_reference_grid(tmp_path, calib):
+    """Full 2x5 reference datagen grid through the CLI (`precompute.py:
+    20-21,70-106`): one output directory per (mode, rainrate) with the
+    reference naming, resume across an interruption (deleted outputs are
+    regenerated, survivors untouched), and per-directory manifest
+    aggregation."""
+    from lidar_snow_sim_tpu.sampling.distributions import (
+        compute_occupancy,
+        snowfall_rate_to_rainfall_rate,
+    )
+    from lidar_snow_sim_tpu.tools.precompute import (
+        SNOWFALL_RATES,
+        TERMINAL_VELOCITIES,
+    )
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    # fabricate EQUAL-SIZED banks for every combo so all ten runs share one
+    # compiled kernel shape (the grid's capacity behavior is covered by
+    # tests/test_reference_grid.py; this test is about the DRIVER)
+    banks = tmp_path / "banks"
+    banks.mkdir()
+    rng = np.random.default_rng(0)
+    for mode in ("gunn", "sekhon"):
+        for s, v in zip(SNOWFALL_RATES, TERMINAL_VELOCITIES):
+            rr = snowfall_rate_to_rainfall_rate(s, v)
+            occ = compute_occupancy(s, v)
+            for line in range(1, 65):
+                ang = rng.uniform(0, 2 * np.pi, 40)
+                d = np.sqrt(rng.uniform(0.01, 1, 40)) * 60
+                r = rng.uniform(0.005, 0.05, 40)
+                np.save(
+                    banks / f"{mode}_{rr}_{occ}_{line}.npy",
+                    np.column_stack(
+                        [d * np.cos(ang), d * np.sin(ang), r]
+                    ),
+                )
+
+    lidar = tmp_path / "lidar_hdl64_strongest"
+    lidar.mkdir()
+    ids = []
+    for i in range(2):
+        sid = f"2019-01-0{i + 1}_00-00-00,0000{i}"
+        ids.append(sid)
+        pc = synthetic_scan(n_azimuth=60, seed=i, calib=calib)
+        pc.astype(np.float32).tofile(
+            lidar / ("_".join(sid.split(",")) + ".bin")
+        )
+    split = tmp_path / "split.txt"
+    split.write_text("\n".join(ids))
+
+    args = [
+        "--split", str(split), "--lidar-dir", str(lidar),
+        "--bank-dir", str(banks), "--batch", "2",
+        "--max-points", "8192", "--window-size", "256", "--no-fov-filter",
+    ]
+    assert precompute_main(args) == 0
+
+    # reference directory layout: snowfall_simulation/{mode}/
+    # {lidar}_rainrate_{int(rr)} — 2 modes x 5 distinct int rainrates
+    root = tmp_path / "snowfall_simulation"
+    rates_int = sorted(
+        {int(snowfall_rate_to_rainfall_rate(s, v))
+         for s, v in zip(SNOWFALL_RATES, TERMINAL_VELOCITIES)}
+    )
+    all_bins = {}
+    for mode in ("gunn", "sekhon"):
+        dirs = sorted(p.name for p in (root / mode).iterdir())
+        assert dirs == sorted(
+            f"lidar_hdl64_strongest_rainrate_{r}" for r in rates_int
+        ), dirs
+        for p in (root / mode).iterdir():
+            bins = sorted(p.glob("*.bin"))
+            assert len(bins) == 2
+            manifest = json.loads((p / "_manifest.json").read_text())
+            assert manifest["stats"]["frames_done"] == 2
+            assert manifest["stats"]["frames_failed"] == 0
+            assert manifest["frames"] == 2
+            all_bins.update({b: b.stat().st_mtime_ns for b in bins})
+
+    # interruption: delete one output per mode, rerun; only those two are
+    # regenerated (byte-identical), everything else untouched
+    victims = [
+        next(iter(sorted((root / mode).iterdir())[0].glob("*.bin")))
+        for mode in ("gunn", "sekhon")
+    ]
+    old_bytes = {v: v.read_bytes() for v in victims}
+    for v in victims:
+        v.unlink()
+    assert precompute_main(args) == 0
+    for b, mtime in all_bins.items():
+        if b in victims:
+            assert b.read_bytes() == old_bytes[b], f"{b} changed on resume"
+        else:
+            assert b.stat().st_mtime_ns == mtime, f"{b} rewritten on resume"
+    for p in (root / "gunn").iterdir():
+        manifest = json.loads((p / "_manifest.json").read_text())
+        st = manifest["stats"]
+        assert st["frames_done"] + st["frames_skipped"] == 2

@@ -174,6 +174,35 @@ def test_beta_randomization_seeded_and_positive():
     assert abs(v1.mean() - 0.05) < 0.02
 
 
+def test_stf_fog_exact_viewer_contract(cloud):
+    """The viewer's exact call pattern (`pointcloud_viewer.py:2963-2970`):
+    BetaRadomization(beta, seed=0) -> propagate_in_time(10) ->
+    haze_point_cloud(pc, B, Namespace(...)) -> truncate columns."""
+    from argparse import Namespace
+
+    from lidar_snow_sim_tpu.models.stf_fog import (
+        BetaRadomization,
+        haze_point_cloud,
+    )
+
+    B = BetaRadomization(beta=0.06, seed=0)
+    B.propagate_in_time(10)
+    arguments = Namespace(
+        sensor_type="Velodyne HDL-64E S3D", fraction_random=0.05
+    )
+    n_features = cloud.shape[1]
+    pc = haze_point_cloud(cloud, B, arguments)
+    pc = pc[:, :n_features]
+    assert pc.shape[1] == n_features
+    assert 0 < len(pc) <= len(cloud)
+    assert set(np.unique(pc[:, 4])) <= {0.0, 2.0}
+    # propagate_in_time moved the field but kept it positive / mean-correct
+    az = np.linspace(0, 2 * np.pi, 64)
+    beta_field = np.asarray(B.get_beta(az))
+    assert (beta_field > 0).all()
+    assert abs(beta_field.mean() - 0.06) < 0.02
+
+
 def test_stf_fog_counts_and_labels(cloud):
     aug, stats = StfFogAugmenter(beta=0.05, seed=1)(cloud)
     assert (
