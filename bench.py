@@ -23,7 +23,7 @@ CACHE = Path(__file__).parent / "banks_cache"
 SNOWFALL_RATE = 2.5
 TERMINAL_VELOCITY = 1.6
 DISTRIBUTION = "gunn"
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # measured knee (BASELINE.md)
 ORACLE_POINTS = int(os.environ.get("BENCH_ORACLE_POINTS", "400"))
 # BENCH_SWEEP="4,8,16,32,64,128": measure every batch size, report the curve
 # on stderr, and emit the best batch's throughput as the headline metric.
