@@ -30,6 +30,9 @@ ORACLE_POINTS = int(os.environ.get("BENCH_ORACLE_POINTS", "400"))
 SWEEP = [int(b) for b in os.environ["BENCH_SWEEP"].split(",")] if (
     os.environ.get("BENCH_SWEEP")
 ) else None
+# BENCH_WET=1: chain wet-ground reflectance after snowfall on device (the
+# viewer's snow+wet mode / datagen --wet) and benchmark the combined step.
+WET = os.environ.get("BENCH_WET", "0") == "1"
 
 # v5e single-chip peaks for the roofline readout (public spec: 197 bf16
 # TFLOP/s MXU, 819 GB/s HBM; VPU f32 vector throughput is ~4 TFLOP/s — the
@@ -146,6 +149,7 @@ def main():
         channel_capacity=1024,
         block_points=int(os.environ.get("BENCH_BLOCK", "128")),
         slice_width=int(os.environ.get("BENCH_SLICE", "1152")),
+        pulse_block=int(os.environ.get("BENCH_PBLOCK", "512")),
         chunk_group=8,
     )
     bank = jax.device_put(
@@ -190,10 +194,20 @@ def main():
         # bank/calib enter as ARGUMENTS, not closure captures: captured
         # device arrays are embedded as MLIR constants, which forces a
         # device->host fetch during lowering (fails over the remote tunnel)
-        vstep = jax.vmap(
-            lambda p, m, o, k, b, ca: snowfall_augment(p, m, b, ca, o, k, cfg),
-            in_axes=(0, 0, 0, 0, None, None),
-        )
+        if WET:
+            from lidar_snow_sim_tpu.config import WetGroundConfig
+            from lidar_snow_sim_tpu.parallel.batched import snow_wet_step
+
+            wet_cfg = WetGroundConfig(replace=False)
+
+            def one(p, m, o, k, b, ca):
+                snow, wet = snow_wet_step(p, m, b, ca, o, k, cfg, wet_cfg)
+                return snow
+        else:
+            def one(p, m, o, k, b, ca):
+                return snowfall_augment(p, m, b, ca, o, k, cfg)
+
+        vstep = jax.vmap(one, in_axes=(0, 0, 0, 0, None, None))
 
         def chain(points, mask, orders, keys_stacked, b, ca):
             def body(pts, keys_i):
@@ -330,7 +344,8 @@ def main():
     sol_vpu_ms = flops_per_scan / (VPU_TFLOPS * 1e12) * 1e3
 
     result = {
-        "metric": "augmented_scans_per_sec_snow2.5mmh",
+        "metric": "augmented_scans_per_sec_snow2.5mmh"
+        + ("_wet" if WET else ""),
         "value": round(scans_per_sec, 3),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / oracle_scans_per_sec, 1),

@@ -90,6 +90,9 @@ class SnowfallConfig:
     # Occluded fraction at the heaviest reference rate is ~20-30%.
     compact_capacity: int = 0
     pulse_chunk: int = 2048         # compacted points per pulse-phase step
+    pulse_block: int = 512          # Pallas pulse-kernel block width (points);
+                                    # falls back to the largest divisor of the
+                                    # compact capacity
     # fused Pallas occluder-selection kernel for phase A (dense assembly);
     # auto-falls back to XLA off-TPU. pallas_interpret forces the pallas
     # interpreter (CPU testing only).

@@ -457,8 +457,13 @@ def snowfall_augment_dense(
     # bank's sort convention (banks.py) and keep FOV scans contiguous ---
     az = jnp.arctan2(xyz[:, 1], xyz[:, 0])
     sort_key = jnp.where(mask, channel.astype(jnp.float32) * 8.0 + az, 1e9)
-    perm = jnp.argsort(sort_key, stable=True)
-    sorted_key = sort_key[perm]
+    # one multi-operand sort carries the sorted keys AND the permutation
+    # (profiling: argsort + a separate key gather were two of the step's
+    # hottest fusions)
+    sorted_key, perm = jax.lax.sort(
+        (sort_key, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
     bounds = jnp.searchsorted(
         sorted_key, 8.0 * jnp.arange(n_ch + 1, dtype=jnp.float32) - 4.0
     )
@@ -470,9 +475,18 @@ def snowfall_augment_dense(
     slot_valid = jnp.arange(pch)[None, :] < jnp.minimum(count, pch)[:, None]
     slot_orig = perm[jnp.clip(src_rank, 0, n - 1)]             # (C, pch)
 
-    s_xyz = xyz[slot_orig]
-    s_int = intensity[slot_orig]
-    s_az = jnp.where(slot_valid, az[slot_orig], jnp.nan)
+    # ONE row gather for every per-point column (x, y, z, intensity,
+    # azimuth): three separate gathers of the same indices were ~16 ms/step
+    # at the bench shapes. Column-major (5, n) orientation keeps the gather
+    # result's minor dim at pch (a trailing size-5 axis would pad to 128
+    # lanes under TPU tiling).
+    cols = jnp.stack(
+        [xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity, az], axis=0
+    )                                                          # (5, n)
+    s_cols = cols[:, slot_orig]                                # (5, C, pch)
+    s_xyz = jnp.moveaxis(s_cols[:3], 0, -1)                    # (C, pch, 3)
+    s_int = s_cols[3]
+    s_az = jnp.where(slot_valid, s_cols[4], jnp.nan)
 
     # --- per-chunk shared slice bounds ---
     ch_of_chunk = jnp.repeat(jnp.arange(n_ch), blocks_per_ch)  # (n_chunks,)
@@ -601,7 +615,10 @@ def snowfall_augment_dense(
         # wide pulse blocks: the sweep is a 2K+2-step sequential walk of
         # small vectors, so per-iteration latency dominates — amortize it
         # over as many points as the scoped-VMEM budget allows
-        pblk = 512 if cap % 512 == 0 else (256 if cap % 256 == 0 else 64)
+        pblk = next(
+            (b for b in (cfg.pulse_block, 512, 256, 64) if cap % b == 0),
+            64,
+        )
         c_d = jnp.linalg.norm(c_xyz, axis=-1)
         c_right, c_left = beam_limits(
             c_xyz[:, 0], c_xyz[:, 1], cfg.beam_divergence_rad

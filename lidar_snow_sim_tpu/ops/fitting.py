@@ -97,8 +97,14 @@ def ransac_plane(
 
     thresh = masked_median(jnp.abs(z - masked_median(z, crop)), crop)
 
-    logits = jnp.where(crop, 0.0, -jnp.inf)
-    idx = jax.random.categorical(key, logits, shape=(trials, 3))  # (T, 3)
+    # uniform sampling over crop points by inverse CDF: equivalent in
+    # distribution to categorical over uniform logits, but O(N + T log N)
+    # instead of T*3 gumbel fields over all N points (profiled hot)
+    c = jnp.cumsum(crop.astype(jnp.float32))
+    u = jax.random.uniform(key, (trials, 3)) * c[-1]
+    idx = jnp.clip(
+        jnp.searchsorted(c, u, side="right"), 0, c.shape[0] - 1
+    )                                                             # (T, 3)
 
     pts = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)            # (N, 3)
 
