@@ -292,8 +292,12 @@ def main():
                 ),
                 file=sys.stderr,
             )
+        # an overflowing config produces WRONG (truncated) results and
+        # nonsense timings — never let it win the sweep
+        clean = [r for r in sweep_rows
+                 if "scans_per_sec" in r and r["overflow"] == 0]
         best = max(
-            (r for r in sweep_rows if "scans_per_sec" in r),
+            clean or [r for r in sweep_rows if "scans_per_sec" in r],
             key=lambda r: r["scans_per_sec"],
         )
     else:
@@ -350,6 +354,9 @@ def main():
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / oracle_scans_per_sec, 1),
     }
+    if overflow:
+        # flag an invalid configuration in the headline line itself
+        result["capacity_overflows"] = overflow
     print(json.dumps(result))
     print(
         json.dumps(
