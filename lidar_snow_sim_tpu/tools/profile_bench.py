@@ -1,0 +1,122 @@
+"""Device-trace profiling of the bench workload (works over the TPU tunnel).
+
+Runs the bench-shaped snowfall step under `jax.profiler.trace`, parses the
+emitted Chrome trace, and prints per-HLO-op device time — the workflow that
+attributed round 2's step time (BASELINE.md). Usage:
+
+    python -m lidar_snow_sim_tpu.tools.profile_bench [--batch 8] [--top 25]
+
+Map the printed fusion/while names back to source with the compiled HLO:
+`--dump-hlo hlo.txt` writes `compiled.as_text()`, whose metadata carries
+`source_file`/`source_line` per op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import sys
+import tempfile
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--dump-hlo", default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import bench  # repo-root bench: reuses its workload + bank cache
+    from lidar_snow_sim_tpu.calib import load_hdl64_calib
+    from lidar_snow_sim_tpu.config import SnowfallConfig
+    from lidar_snow_sim_tpu.models.snowfall import (
+        calib_device_arrays,
+        snowfall_augment,
+    )
+    from lidar_snow_sim_tpu.sampling.banks import build_bank
+    from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    jax.config.update("jax_compilation_cache_dir", str(bench.CACHE / "xla"))
+
+    calib = load_hdl64_calib()
+    pc = synthetic_scan(n_azimuth=870, seed=0, calib=calib)
+    sets = bench.get_bank_sets()
+    cfg = SnowfallConfig(
+        max_points=1 << int(np.ceil(np.log2(len(pc)))), window_size=128,
+        wide_capacity=16, max_occluders=24, max_bumps=16, point_chunk=2048,
+        assembly="dense", use_pallas=True, channel_capacity=1024,
+        block_points=128, slice_width=1152, chunk_group=8,
+    )
+    bank = jax.device_put(build_bank(
+        sets, window_size=cfg.window_size,
+        wide_threshold=cfg.wide_threshold, wide_capacity=cfg.wide_capacity,
+    ))
+    ca = calib_device_arrays(calib)
+    padded = pad_cloud(pc, cfg.max_points)
+    b = args.batch
+    points = jnp.broadcast_to(
+        jnp.asarray(padded.points), (b,) + padded.points.shape
+    )
+    mask = jnp.broadcast_to(jnp.asarray(padded.mask), (b,) + padded.mask.shape)
+    orders = jnp.asarray(
+        np.stack([np.random.default_rng(i).permutation(64) for i in range(b)]),
+        jnp.int32,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), b)
+    vstep = jax.jit(jax.vmap(
+        lambda p, m, o, k, bk, c: snowfall_augment(p, m, bk, c, o, k, cfg),
+        in_axes=(0, 0, 0, 0, None, None),
+    ))
+
+    if args.dump_hlo:
+        txt = vstep.lower(
+            points, mask, orders, keys, bank, ca
+        ).compile().as_text()
+        open(args.dump_hlo, "w").write(txt)
+        print(f"wrote {args.dump_hlo}")
+
+    jax.block_until_ready(vstep(points, mask, orders, keys, bank, ca))
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="snowsim_trace_")
+    with jax.profiler.trace(trace_dir):
+        out = None
+        for _ in range(args.iters):
+            out = vstep(points, mask, orders, keys, bank, ca)
+        jax.block_until_ready(out)
+
+    paths = glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz")
+    if not paths:
+        print(f"no trace found under {trace_dir}", file=sys.stderr)
+        return 1
+    with gzip.open(sorted(paths)[-1]) as f:
+        tr = json.load(f)
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in tr["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pids = {p for p, name in pids.items() if "TPU" in name or "GPU" in name}
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev_pids:
+            tot[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    it = args.iters
+    print(f"device ops (per step, {it} steps traced; trace: {trace_dir}):")
+    for name, d in tot.most_common(args.top):
+        print(f"{d / it / 1e3:9.2f} ms x{cnt[name] // it:<5d} {name[:70]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
