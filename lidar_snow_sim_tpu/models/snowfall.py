@@ -484,7 +484,7 @@ def snowfall_augment_dense(
         [xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity, az], axis=0
     )                                                          # (5, n)
     s_cols = cols[:, slot_orig]                                # (5, C, pch)
-    s_xyz = jnp.moveaxis(s_cols[:3], 0, -1)                    # (C, pch, 3)
+    s_x, s_y, s_z = s_cols[0], s_cols[1], s_cols[2]
     s_int = s_cols[3]
     s_az = jnp.where(slot_valid, s_cols[4], jnp.nan)
 
@@ -503,7 +503,11 @@ def snowfall_augment_dense(
     hi_req = _batched_searchsorted(bank.angle, row_of_chunk, max_az + delta, k_ext)
 
     range_grid = jnp.asarray(cfg.range_grid())
-    xyz_blk = s_xyz.reshape(n_chunks, blk, 3)
+    # coordinate PLANES, not a stacked (..., 3) array whose 3-wide minor
+    # dim would pad 42x in HBM
+    x_blk = s_x.reshape(n_chunks, blk)
+    y_blk = s_y.reshape(n_chunks, blk)
+    z_blk = s_z.reshape(n_chunks, blk)
 
     # --- phase A: dense intersection + nearest-K occluder selection ---
     # Mosaic DMA requires lane-dim starts aligned to 128: the pallas slice
@@ -530,7 +534,7 @@ def snowfall_augment_dense(
             interpret=cfg.pallas_interpret,
         )
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
-            xyz_blk, row_of_chunk, lo.astype(jnp.int32),
+            x_blk, y_blk, z_blk, row_of_chunk, lo.astype(jnp.int32),
             bank.count.astype(jnp.int32), bank.data_t, bank.wide_t,
         )                                          # (n_chunks, K, blk) each
         occ_valid = occ_valid & valid_blk[:, None, :]
@@ -561,6 +565,7 @@ def snowfall_augment_dense(
             valid_k = valid_k & valid_b[:, None]
             return a1, a2, dist_k, valid_k, jnp.sum(of)
 
+        xyz_blk = jnp.stack([x_blk, y_blk, z_blk], axis=-1)
         g = lambda a: a.reshape((n_chunks // grp, grp) + a.shape[1:])
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of = jax.lax.map(
             lambda t: jax.vmap(one_chunk)(t),
@@ -602,7 +607,10 @@ def snowfall_augment_dense(
 
     slot_ch = jnp.repeat(jnp.arange(n_ch), pch)            # (n2,) channel ids
     c_ch = slot_ch[ci]
-    c_xyz = s_xyz.reshape(n2, 3)[ci]
+    c_xyz = jnp.stack(
+        [s_x.reshape(n2)[ci], s_y.reshape(n2)[ci], s_z.reshape(n2)[ci]],
+        axis=-1,
+    )
     c_int = s_int.reshape(n2)[ci]
 
     # --- phase C: sweep + pulse re-simulation on the compacted set ---

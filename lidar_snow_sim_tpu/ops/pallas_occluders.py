@@ -38,11 +38,12 @@ N_FEAT = 8   # point-feature rows
 N_PROP = 8   # bank property rows (2 spare)
 
 
-def point_features(xyz, beam_rad: float):
-    """(..., N) points -> (..., N_FEAT) feature rows for the kernel, computed
-    in XLA (atan2/sin/cos are not lowerable inside Mosaic)."""
-    x, y = xyz[..., 0], xyz[..., 1]
-    d = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1))
+def point_features(x, y, z, beam_rad: float):
+    """Per-point feature rows for the kernel from separate coordinate
+    PLANES (a stacked (..., 3) input would make 3 the HBM minormost dim and
+    pad 42x under (8, 128) tiling), computed in XLA (atan2/sin/cos are not
+    lowerable inside Mosaic)."""
+    d = jnp.sqrt(x * x + y * y + z * z)
     center = jnp.arctan2(y, x)
     center = jnp.where(center < 0, center + TWO_PI, center)
     right = center - beam_rad / 2
@@ -198,9 +199,9 @@ def make_pallas_occluder_phase(
         _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
     )
 
-    def run(xyz_blk, rows, los, counts, bank_data_t, bank_wide_t):
-        n_chunks = xyz_blk.shape[0]
-        feats = point_features(xyz_blk, beam_rad)     # (n_chunks, blk, F)
+    def run(x_blk, y_blk, z_blk, rows, los, counts, bank_data_t, bank_wide_t):
+        n_chunks = x_blk.shape[0]
+        feats = point_features(x_blk, y_blk, z_blk, beam_rad)  # (n_chunks, blk, F)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_chunks,),
