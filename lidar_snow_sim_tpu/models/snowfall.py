@@ -601,7 +601,12 @@ def snowfall_augment_dense(
     )
     n_occluded = jnp.sum(any_occ)
     compact_overflow = jnp.maximum(n_occluded - cap, 0)
-    cidx = jnp.nonzero(any_occ, size=cap, fill_value=n2)[0]
+    # sort-based nonzero: ascending occupied-slot indices then n2 sentinels,
+    # exactly jnp.nonzero(size=cap, fill_value=n2) — whose cumsum+scatter
+    # lowering was 4.1 ms/step at bench shapes vs 0.7 ms for one i32 sort
+    cidx = jax.lax.sort(
+        jnp.where(any_occ, jnp.arange(n2, dtype=jnp.int32), n2)
+    )[:cap]
     c_ok = cidx < n2
     ci = jnp.clip(cidx, 0, n2 - 1)
 
@@ -715,9 +720,22 @@ def snowfall_augment_dense(
     valid_flat = slot_valid.reshape(n2)
     slot_to_orig = jnp.where(valid_flat, slot_orig.reshape(n2), n)
     tgt = jnp.where(c_ok, slot_to_orig[ci], n)
-    new_xyz = xyz.at[tgt].set(nx, mode="drop")
-    new_int = intensity.at[tgt].set(ni, mode="drop")
-    label = jnp.zeros(n, points.dtype).at[tgt].set(lab, mode="drop")
+    # in-bounds targets are distinct (ci indexes distinct valid slots and
+    # slot_orig is injective on them; invalid entries collide only on the
+    # dropped n sentinel), so the scatters can claim unique indices; the xyz
+    # scatter goes plane-by-plane — a (cap, 3) update payload made XLA pick
+    # a padded layout that cost 5.2 ms/step vs 2.8 for three 1-D scatters
+    new_xyz = jnp.stack(
+        [
+            xyz[:, i].at[tgt].set(nx[:, i], mode="drop", unique_indices=True)
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    new_int = intensity.at[tgt].set(ni, mode="drop", unique_indices=True)
+    label = jnp.zeros(n, points.dtype).at[tgt].set(
+        lab, mode="drop", unique_indices=True
+    )
 
     new_int = jnp.round(new_int)
     keep = mask & ((label == 2) | (new_int > noise_at))
