@@ -610,16 +610,46 @@ def snowfall_augment_dense(
     c_ok = cidx < n2
     ci = jnp.clip(cidx, 0, n2 - 1)
 
-    slot_ch = jnp.repeat(jnp.arange(n_ch), pch)            # (n2,) channel ids
-    c_ch = slot_ch[ci]
-    c_xyz = jnp.stack(
-        [s_x.reshape(n2)[ci], s_y.reshape(n2)[ci], s_z.reshape(n2)[ci]],
-        axis=-1,
-    )
-    c_int = s_int.reshape(n2)[ci]
+    c_ch = ci // pch              # channel of slot i is i // pch (C, pch)
+    valid_flat = slot_valid.reshape(n2)
+    slot_to_orig = jnp.where(valid_flat, slot_orig.reshape(n2), n)
+
+    if k_major:
+        # ONE fused column gather for the five 1-row payloads (x, y, z,
+        # intensity, bitcast slot->orig map): separate 1-D gathers of the
+        # same index vector cost ~1 ms EACH at bench shapes (small gathers
+        # pay per-index overhead). The K-wide occluder planes stay as
+        # separate gather_c calls — folding them into one (5+4K)-row gather
+        # was MEASURED SLOWER (10.3 ms gather + 3.7 ms concat: wide gathers
+        # pay per-cell instead).
+        small = jnp.stack(
+            [
+                s_x.reshape(n2), s_y.reshape(n2), s_z.reshape(n2),
+                s_int.reshape(n2),
+                jax.lax.bitcast_convert_type(
+                    slot_to_orig.astype(jnp.int32), jnp.float32
+                ),
+            ],
+            axis=0,
+        )                                                  # (5, n2)
+        gs = small[:, ci]                                  # (5, cap)
+        c_xyz = jnp.stack([gs[0], gs[1], gs[2]], axis=-1)
+        c_int = gs[3]
+        c_orig = jax.lax.bitcast_convert_type(gs[4], jnp.int32)
+        c_a1 = gather_c(occ_a1, ci)
+        c_a2 = gather_c(occ_a2, ci)
+        c_rr = gather_c(occ_dist, ci)
+        c_occ_valid = gather_c(occ_valid, ci) & c_ok[:, None]
+    else:
+        c_xyz = jnp.stack(
+            [s_x.reshape(n2)[ci], s_y.reshape(n2)[ci], s_z.reshape(n2)[ci]],
+            axis=-1,
+        )
+        c_int = s_int.reshape(n2)[ci]
+        c_orig = slot_to_orig[ci]
+        c_occ_valid = gather_c(occ_valid, ci) & c_ok[:, None]
 
     # --- phase C: sweep + pulse re-simulation on the compacted set ---
-    c_occ_valid = gather_c(occ_valid, ci) & c_ok[:, None]
     if use_pallas:
         from lidar_snow_sim_tpu.ops.pallas_pulse import make_pallas_pulse_phase
 
@@ -636,11 +666,17 @@ def snowfall_augment_dense(
         c_right, c_left = beam_limits(
             c_xyz[:, 0], c_xyz[:, 1], cfg.beam_divergence_rad
         )
-        c_max = max_int_lut[c_ch]
+        # per-channel calib via one-hot matmul: four 64-entry LUT gathers at
+        # cap scale were ~1 ms each; one (cap, 64) @ (64, 4) MXU matmul is
+        # effectively free
+        oh = (c_ch[:, None] == jnp.arange(n_ch)[None, :]).astype(jnp.float32)
+        c_lut = oh @ jnp.stack(
+            [min_int_lut, fs_lut, fo_lut, max_int_lut], axis=1
+        )                                                  # (cap, 4)
+        c_min, c_fs, c_fo, c_max = (
+            c_lut[:, 0], c_lut[:, 1], c_lut[:, 2], c_lut[:, 3]
+        )
         feats = jnp.stack([c_d, c_right, c_left, 0.9 * c_max], axis=-1)
-        c_a1 = gather_c(occ_a1, ci)
-        c_a2 = gather_c(occ_a2, ci)
-        c_rr = gather_c(occ_dist, ci)
         c_valid_f = c_occ_valid.astype(jnp.float32)
         # occluder properties stay SEPARATE (cap, K) planes: stacking them
         # on a trailing size-5/2 axis makes that axis the HBM minormost dim,
@@ -665,9 +701,7 @@ def snowfall_augment_dense(
         touched_any = touched_any.reshape(cap)
 
         # decision tail (simulation.py:151-192), elementwise in XLA
-        c_min = min_int_lut[c_ch]
-        c_fs = fs_lut[c_ch]
-        c_fo = fo_lut[c_ch]
+        # (c_min/c_fs/c_fo/c_max come from the one-hot LUT matmul above)
         d_max = peak_idx.astype(jnp.float32) / ipm - c_tau / 2
         i_max = i_peak + c_max * c_fs * jnp.abs(
             c_fo - (1 - d_max / cfg.lidar_range) ** 2
@@ -717,9 +751,7 @@ def snowfall_augment_dense(
     lab = lab.reshape(cap)
 
     # --- phase D: scatter compacted results to original order ---
-    valid_flat = slot_valid.reshape(n2)
-    slot_to_orig = jnp.where(valid_flat, slot_orig.reshape(n2), n)
-    tgt = jnp.where(c_ok, slot_to_orig[ci], n)
+    tgt = jnp.where(c_ok, c_orig, n)
     # in-bounds targets are distinct (ci indexes distinct valid slots and
     # slot_orig is injective on them; invalid entries collide only on the
     # dropped n sentinel), so the scatters can claim unique indices; the xyz
