@@ -601,12 +601,26 @@ def snowfall_augment_dense(
     )
     n_occluded = jnp.sum(any_occ)
     compact_overflow = jnp.maximum(n_occluded - cap, 0)
-    # sort-based nonzero: ascending occupied-slot indices then n2 sentinels,
-    # exactly jnp.nonzero(size=cap, fill_value=n2) — whose cumsum+scatter
-    # lowering was 4.1 ms/step at bench shapes vs 0.7 ms for one i32 sort
-    cidx = jax.lax.sort(
-        jnp.where(any_occ, jnp.arange(n2, dtype=jnp.int32), n2)
-    )[:cap]
+    # sort-based nonzero (the cumsum+scatter lowering of jnp.nonzero was
+    # 4.1 ms/step at bench shapes vs 0.7 ms for one i32 sort). On the
+    # pallas path the sort key is (occluder count, slot) instead of plain
+    # slot order: the pulse kernel's sweep/bump trip counts are BLOCK
+    # maxima, so count-homogeneous blocks stop a single rare 12-occluder
+    # point from taxing all 511 neighbors. Any compaction order is valid
+    # (phase C is per-point, phase D scatters back); the one
+    # order-sensitive reduction (diff_sum) is restored to slot order
+    # before summing so stats stay bit-identical to the window path.
+    slot_iota = jnp.arange(n2, dtype=jnp.int32)
+    count_bucketed = k_major and (k_occ + 1) * n2 < 2**31
+    if count_bucketed:
+        n_occ_slot = jnp.sum(occ_valid, axis=1).reshape(n2).astype(jnp.int32)
+        big_key = jnp.iinfo(jnp.int32).max
+        skey = jax.lax.sort(
+            jnp.where(any_occ, n_occ_slot * n2 + slot_iota, big_key)
+        )[:cap]
+        cidx = jnp.where(skey == big_key, n2, skey % n2)
+    else:
+        cidx = jax.lax.sort(jnp.where(any_occ, slot_iota, n2))[:cap]
     c_ok = cidx < n2
     ci = jnp.clip(cidx, 0, n2 - 1)
 
@@ -719,11 +733,17 @@ def snowfall_augment_dense(
         ni = jnp.where(
             touched_any, jnp.clip(new_i, c_min, c_max), c_int
         )
-        diff_c = jnp.sum(
-            jnp.where(
-                touched_any & attenuated & c_ok, 0.9 * c_max - new_i, 0.0
-            )
+        contrib = jnp.where(
+            touched_any & attenuated & c_ok, 0.9 * c_max - new_i, 0.0
         )
+        if count_bucketed:
+            # compaction is count-ordered; re-sort the contributions to
+            # ascending slot order so the f32 sum sees the exact array the
+            # slot-ordered path would — bit-identical diff stats
+            _, contrib = jax.lax.sort(
+                (cidx, contrib), num_keys=1, is_stable=True
+            )
+        diff_c = jnp.sum(contrib)
         bump_of = jnp.int32(0)  # bumps == occluders: can never overflow
     else:
         def pulse_chunk_fn(args):
