@@ -442,8 +442,6 @@ def snowfall_augment_dense(
     grp = cfg.chunk_group
     assert pch % blk == 0, "channel_capacity must be divisible by block_points"
     blocks_per_ch = pch // blk
-    n_chunks = n_ch * blocks_per_ch
-    assert n_chunks % grp == 0, "chunk count must be divisible by chunk_group"
 
     min_int_lut, _, fs_lut, fo_lut, max_int_lut = calib_arrays
 
@@ -453,61 +451,13 @@ def snowfall_augment_dense(
     dist = jnp.linalg.norm(xyz, axis=-1)
     noise_at = _plane_and_noise(xyz, intensity, mask, dist, key, cfg, plane)
 
-    # --- (channel, azimuth)-sorted slot layout; signed azimuth to match the
-    # bank's sort convention (banks.py) and keep FOV scans contiguous ---
+    # --- (channel, azimuth) sort; signed azimuth to match the bank's sort
+    # convention (banks.py) and keep FOV scans contiguous ---
     az = jnp.arctan2(xyz[:, 1], xyz[:, 0])
     sort_key = jnp.where(mask, channel.astype(jnp.float32) * 8.0 + az, 1e9)
-    # one multi-operand sort carries the sorted keys AND the permutation
-    # (profiling: argsort + a separate key gather were two of the step's
-    # hottest fusions)
-    sorted_key, perm = jax.lax.sort(
-        (sort_key, jnp.arange(n, dtype=jnp.int32)),
-        num_keys=1, is_stable=True,
-    )
-    bounds = jnp.searchsorted(
-        sorted_key, 8.0 * jnp.arange(n_ch + 1, dtype=jnp.float32) - 4.0
-    )
-    start = bounds[:-1]
-    count = bounds[1:] - bounds[:-1]
-    channel_overflow = jnp.sum(jnp.maximum(count - pch, 0))
-
-    src_rank = start[:, None] + jnp.arange(pch)[None, :]       # (C, pch)
-    slot_valid = jnp.arange(pch)[None, :] < jnp.minimum(count, pch)[:, None]
-    slot_orig = perm[jnp.clip(src_rank, 0, n - 1)]             # (C, pch)
-
-    # ONE row gather for every per-point column (x, y, z, intensity,
-    # azimuth): three separate gathers of the same indices were ~16 ms/step
-    # at the bench shapes. Column-major (5, n) orientation keeps the gather
-    # result's minor dim at pch (a trailing size-5 axis would pad to 128
-    # lanes under TPU tiling).
-    cols = jnp.stack(
-        [xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity, az], axis=0
-    )                                                          # (5, n)
-    s_cols = cols[:, slot_orig]                                # (5, C, pch)
-    s_x, s_y, s_z = s_cols[0], s_cols[1], s_cols[2]
-    s_int = s_cols[3]
-    s_az = jnp.where(slot_valid, s_cols[4], jnp.nan)
-
-    # --- per-chunk shared slice bounds ---
-    ch_of_chunk = jnp.repeat(jnp.arange(n_ch), blocks_per_ch)  # (n_chunks,)
-    row_of_chunk = order[ch_of_chunk]
-    az_blk = s_az.reshape(n_chunks, blk)
-    valid_blk = slot_valid.reshape(n_chunks, blk)
-    min_az = jnp.min(jnp.where(valid_blk, az_blk, jnp.inf), axis=1)
-    max_az = jnp.max(jnp.where(valid_blk, az_blk, -jnp.inf), axis=1)
     delta = cfg.beam_divergence_rad / 2 + cfg.wide_threshold
     k_ext = bank.angle.shape[1]
-    lo_raw = _batched_searchsorted(
-        bank.angle, row_of_chunk, min_az - delta, k_ext
-    )
-    hi_req = _batched_searchsorted(bank.angle, row_of_chunk, max_az + delta, k_ext)
-
     range_grid = jnp.asarray(cfg.range_grid())
-    # coordinate PLANES, not a stacked (..., 3) array whose 3-wide minor
-    # dim would pad 42x in HBM
-    x_blk = s_x.reshape(n_chunks, blk)
-    y_blk = s_y.reshape(n_chunks, blk)
-    z_blk = s_z.reshape(n_chunks, blk)
 
     # --- phase A: dense intersection + nearest-K occluder selection ---
     # Mosaic DMA requires lane-dim starts aligned to 128: the pallas slice
@@ -523,24 +473,148 @@ def snowfall_augment_dense(
     if use_pallas:
         from lidar_snow_sim_tpu.ops.pallas_occluders import (
             make_pallas_occluder_phase,
+            point_features,
+        )
+
+        # Gather-free slot layout: x/y/z/intensity/azimuth/orig-index RIDE
+        # the (channel, azimuth) sort as payload operands, and chunks are
+        # blk-aligned WINDOWS of the sorted order. The former slot layout
+        # ((C, pch) slot-index gather at :476 plus the 5-row column gather
+        # it fed at :486) was 14.5 ms/step — 25% of the bench step.
+        (s_key, sx, sy, sz, si, saz, sperm) = jax.lax.sort(
+            (
+                sort_key, xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity, az,
+                jnp.arange(n, dtype=jnp.int32),
+            ),
+            num_keys=1, is_stable=True,
+        )
+        n_pad = -(-n // blk) * blk
+        if n_pad != n:
+            pw = n_pad - n
+            s_key = jnp.pad(s_key, (0, pw), constant_values=1e9)
+            sx, sy, sz, si, saz = (
+                jnp.pad(a, (0, pw)) for a in (sx, sy, sz, si, saz)
+            )
+            sperm = jnp.pad(sperm, (0, pw), constant_values=n)
+        bounds = jnp.searchsorted(
+            s_key, 8.0 * jnp.arange(n_ch + 1, dtype=jnp.float32) - 4.0
+        )
+        start = bounds[:-1]
+        count_full = bounds[1:] - bounds[:-1]
+        channel_overflow = jnp.sum(jnp.maximum(count_full - pch, 0))
+        end = start + jnp.minimum(count_full, pch)
+
+        # one EXTRA window per channel: aligning a channel's first window
+        # down to a blk boundary can push its last points past window
+        # blocks_per_ch - 1. Windows whose aligned start would fall past
+        # n_pad - blk never contain in-channel rows (see valid_blk) and are
+        # clipped dead rather than wrapped, so no row is claimed twice.
+        bpc1 = blocks_per_ch + 1
+        n_chunks = n_ch * bpc1
+        ch_of_chunk = jnp.repeat(jnp.arange(n_ch), bpc1)       # (n_chunks,)
+        b_of_chunk = jnp.tile(jnp.arange(bpc1), n_ch)
+        start_c = start[ch_of_chunk]
+        end_c = end[ch_of_chunk]
+        w0_raw = (start_c // blk) * blk + b_of_chunk * blk
+        alive = w0_raw <= n_pad - blk
+        w0 = jnp.clip(w0_raw, 0, n_pad - blk).astype(jnp.int32)
+        row_of_chunk = order[ch_of_chunk]
+
+        pos = jnp.arange(blk, dtype=jnp.int32)
+        rank_blk = w0[:, None] + pos[None, :]                  # (n_chunks, blk)
+        valid_blk = (
+            alive[:, None]
+            & (rank_blk >= start_c[:, None])
+            & (rank_blk < end_c[:, None])
+        )
+
+        # azimuth ASCENDS within a channel (the sort key is ch*8 + az), so a
+        # window's az bounds are its first/last in-channel elements — two
+        # n_chunks-sized gathers instead of masked min/max over (n2,)
+        a_lo = jnp.maximum(w0, start_c)
+        a_hi = jnp.minimum(w0 + blk, end_c)
+        has = alive & (a_lo < a_hi)
+        min_az = jnp.where(has, saz[jnp.clip(a_lo, 0, n_pad - 1)], jnp.inf)
+        max_az = jnp.where(
+            has, saz[jnp.clip(a_hi - 1, 0, n_pad - 1)], -jnp.inf
+        )
+        lo_raw = _batched_searchsorted(
+            bank.angle, row_of_chunk, min_az - delta, k_ext
+        )
+        hi_req = _batched_searchsorted(
+            bank.angle, row_of_chunk, max_az + delta, k_ext
         )
 
         lo = jnp.clip(lo_raw, 0, k_ext - w_pallas)
         lo = (lo // 128) * 128
         cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_pallas), 0))
+        feats_b = point_features(
+            sx, sy, sz, cfg.beam_divergence_rad
+        ).reshape(n_pad // blk, blk, -1)
         run = make_pallas_occluder_phase(
             blk=blk, w_sl=w_pallas, wide_cap=bank.wide_t.shape[2],
             k_occ=cfg.max_occluders, beam_rad=cfg.beam_divergence_rad,
             interpret=cfg.pallas_interpret,
         )
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
-            x_blk, y_blk, z_blk, row_of_chunk, lo.astype(jnp.int32),
-            bank.count.astype(jnp.int32), bank.data_t, bank.wide_t,
+            feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
+            lo.astype(jnp.int32), bank.count.astype(jnp.int32),
+            bank.data_t, bank.wide_t,
         )                                          # (n_chunks, K, blk) each
         occ_valid = occ_valid & valid_blk[:, None, :]
         occ_of = jnp.sum(jnp.where(valid_blk, occ_of_pts, 0))
         k_major = True
+        rank_flat = rank_blk.reshape(-1)
     else:
+        # --- XLA fallback: (channel, azimuth)-sorted (C, pch) slot layout,
+        # materialized with one slot-index gather + one 5-row column gather
+        # (column-major so the gather's minor dim stays at pch; a trailing
+        # size-5 axis would pad to 128 lanes under TPU tiling) ---
+        n_chunks = n_ch * blocks_per_ch
+        assert n_chunks % grp == 0, (
+            "chunk count must be divisible by chunk_group"
+        )
+        sorted_key, perm = jax.lax.sort(
+            (sort_key, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        bounds = jnp.searchsorted(
+            sorted_key, 8.0 * jnp.arange(n_ch + 1, dtype=jnp.float32) - 4.0
+        )
+        start = bounds[:-1]
+        count = bounds[1:] - bounds[:-1]
+        channel_overflow = jnp.sum(jnp.maximum(count - pch, 0))
+
+        src_rank = start[:, None] + jnp.arange(pch)[None, :]   # (C, pch)
+        slot_valid = (
+            jnp.arange(pch)[None, :] < jnp.minimum(count, pch)[:, None]
+        )
+        slot_orig = perm[jnp.clip(src_rank, 0, n - 1)]         # (C, pch)
+
+        cols = jnp.stack(
+            [xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity, az], axis=0
+        )                                                      # (5, n)
+        s_cols = cols[:, slot_orig]                            # (5, C, pch)
+        s_x, s_y, s_z = s_cols[0], s_cols[1], s_cols[2]
+        s_int = s_cols[3]
+        s_az = jnp.where(slot_valid, s_cols[4], jnp.nan)
+
+        ch_of_chunk = jnp.repeat(jnp.arange(n_ch), blocks_per_ch)
+        row_of_chunk = order[ch_of_chunk]
+        az_blk = s_az.reshape(n_chunks, blk)
+        valid_blk = slot_valid.reshape(n_chunks, blk)
+        min_az = jnp.min(jnp.where(valid_blk, az_blk, jnp.inf), axis=1)
+        max_az = jnp.max(jnp.where(valid_blk, az_blk, -jnp.inf), axis=1)
+        lo_raw = _batched_searchsorted(
+            bank.angle, row_of_chunk, min_az - delta, k_ext
+        )
+        hi_req = _batched_searchsorted(
+            bank.angle, row_of_chunk, max_az + delta, k_ext
+        )
+
+        x_blk = s_x.reshape(n_chunks, blk)
+        y_blk = s_y.reshape(n_chunks, blk)
+        z_blk = s_z.reshape(n_chunks, blk)
         lo = jnp.clip(lo_raw, 0, max(k_ext - w_sl, 0))
         cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_sl), 0))
 
@@ -595,7 +669,13 @@ def snowfall_augment_dense(
             return arr[ci]
 
     # --- phase B: compact points with >= 1 occluder ---
-    cap = cfg.compact_capacity or max(n2 // 4, cfg.pulse_chunk)
+    # default capacity: a quarter of the slots, rounded UP to a pulse_chunk
+    # multiple (the pallas chunk count n2 includes one extra window per
+    # channel, so n2 // 4 alone need not divide evenly)
+    cap = cfg.compact_capacity or (
+        -(-max(n2 // 4, cfg.pulse_chunk) // cfg.pulse_chunk)
+        * cfg.pulse_chunk
+    )
     assert cap % cfg.pulse_chunk == 0, (
         "compact_capacity must be divisible by pulse_chunk"
     )
@@ -612,41 +692,53 @@ def snowfall_augment_dense(
     # before summing so stats stay bit-identical to the window path.
     slot_iota = jnp.arange(n2, dtype=jnp.int32)
     count_bucketed = k_major and (k_occ + 1) * n2 < 2**31
-    if count_bucketed:
-        n_occ_slot = jnp.sum(occ_valid, axis=1).reshape(n2).astype(jnp.int32)
-        big_key = jnp.iinfo(jnp.int32).max
-        skey = jax.lax.sort(
-            jnp.where(any_occ, n_occ_slot * n2 + slot_iota, big_key)
-        )[:cap]
-        cidx = jnp.where(skey == big_key, n2, skey % n2)
+    if k_major:
+        # the sorted-order RANK of each slot rides the compaction sort as a
+        # payload, so mapping compacted slots back to sorted rows needs no
+        # extra gather
+        if count_bucketed:
+            n_occ_slot = jnp.sum(
+                occ_valid, axis=1
+            ).reshape(n2).astype(jnp.int32)
+            big_key = jnp.iinfo(jnp.int32).max
+            ckey = jnp.where(any_occ, n_occ_slot * n2 + slot_iota, big_key)
+        else:
+            big_key = n2
+            ckey = jnp.where(any_occ, slot_iota, n2)
+        skey, rank_sorted = jax.lax.sort(
+            (ckey, rank_flat), num_keys=1, is_stable=True
+        )
+        skey = skey[:cap]
+        rank_ci = rank_sorted[:cap]
+        if count_bucketed:
+            cidx = jnp.where(skey == big_key, n2, skey % n2)
+        else:
+            cidx = skey
     else:
         cidx = jax.lax.sort(jnp.where(any_occ, slot_iota, n2))[:cap]
     c_ok = cidx < n2
     ci = jnp.clip(cidx, 0, n2 - 1)
 
-    c_ch = ci // pch              # channel of slot i is i // pch (C, pch)
-    valid_flat = slot_valid.reshape(n2)
-    slot_to_orig = jnp.where(valid_flat, slot_orig.reshape(n2), n)
-
     if k_major:
+        # channel of chunk c is c // (blocks_per_ch + 1); slot i sits in
+        # chunk i // blk — pure arithmetic, no LUT gather
+        c_ch = (ci // blk) // (blocks_per_ch + 1)
         # ONE fused column gather for the five 1-row payloads (x, y, z,
-        # intensity, bitcast slot->orig map): separate 1-D gathers of the
-        # same index vector cost ~1 ms EACH at bench shapes (small gathers
-        # pay per-index overhead). The K-wide occluder planes stay as
-        # separate gather_c calls — folding them into one (5+4K)-row gather
-        # was MEASURED SLOWER (10.3 ms gather + 3.7 ms concat: wide gathers
-        # pay per-cell instead).
+        # intensity, bitcast sorted->orig permutation): separate 1-D gathers
+        # of the same index vector cost ~1 ms EACH at bench shapes (small
+        # gathers pay per-index overhead). The K-wide occluder planes stay
+        # as separate gather_c calls — folding them into one (5+4K)-row
+        # gather was MEASURED SLOWER (10.3 ms gather + 3.7 ms concat: wide
+        # gathers pay per-cell instead).
         small = jnp.stack(
             [
-                s_x.reshape(n2), s_y.reshape(n2), s_z.reshape(n2),
-                s_int.reshape(n2),
-                jax.lax.bitcast_convert_type(
-                    slot_to_orig.astype(jnp.int32), jnp.float32
-                ),
+                sx, sy, sz, si,
+                jax.lax.bitcast_convert_type(sperm, jnp.float32),
             ],
             axis=0,
-        )                                                  # (5, n2)
-        gs = small[:, ci]                                  # (5, cap)
+        )                                                  # (5, n_pad)
+        rk = jnp.clip(rank_ci, 0, small.shape[1] - 1)
+        gs = small[:, rk]                                  # (5, cap)
         c_xyz = jnp.stack([gs[0], gs[1], gs[2]], axis=-1)
         c_int = gs[3]
         c_orig = jax.lax.bitcast_convert_type(gs[4], jnp.int32)
@@ -655,6 +747,9 @@ def snowfall_augment_dense(
         c_rr = gather_c(occ_dist, ci)
         c_occ_valid = gather_c(occ_valid, ci) & c_ok[:, None]
     else:
+        c_ch = ci // pch          # channel of slot i is i // pch (C, pch)
+        valid_flat = slot_valid.reshape(n2)
+        slot_to_orig = jnp.where(valid_flat, slot_orig.reshape(n2), n)
         c_xyz = jnp.stack(
             [s_x.reshape(n2)[ci], s_y.reshape(n2)[ci], s_z.reshape(n2)[ci]],
             axis=-1,

@@ -61,6 +61,7 @@ def point_features(x, y, z, beam_rad: float):
 
 
 def _kernel(
+    w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
     los_ref,       # (n_chunks,) i32, scalar-prefetch
     counts_ref,    # (C_banks,) i32, scalar-prefetch: narrow count per row
@@ -187,27 +188,33 @@ def make_pallas_occluder_phase(
 ):
     """Build the fused phase-A callable for fixed static shapes.
 
-    The returned function takes (xyz_blk, rows, los, counts, bank_data_t,
-    bank_wide_t) and returns (a1, a2, dist, valid, overflow) shaped
-    ((n_chunks, K, blk) x 4, (n_chunks, blk)) — K-MAJOR, i.e. the kernel's
-    native output layout with blk on the lane dim. Transposing to
+    The returned function takes (feats_b, w0_blocks, rows, los, counts,
+    bank_data_t, bank_wide_t) and returns (a1, a2, dist, valid, overflow)
+    shaped ((n_chunks, K, blk) x 4, (n_chunks, blk)) — K-MAJOR, i.e. the
+    kernel's native output layout with blk on the lane dim. Transposing to
     (..., blk, K) here would materialize arrays whose 24-wide minor dim
     pads to 128 lanes (5.3x HBM waste at n2 scale); callers that need
     point-major slices should gather first and transpose at compact scale.
+
+    feats_b is `point_features` over the (channel, azimuth)-SORTED point
+    order, reshaped (n_pad // blk, blk, F); chunk i reads feature block
+    w0_blocks[i] via the scalar-prefetch-driven index map. Sorted-order
+    windows make the slot layout gather-free: the caller carries x/y/z/etc
+    as sort payloads instead of gathering them into (C, pch) slots (the two
+    slot gathers were 25% of the bench step).
     """
     kernel = functools.partial(
         _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
     )
 
-    def run(x_blk, y_blk, z_blk, rows, los, counts, bank_data_t, bank_wide_t):
-        n_chunks = x_blk.shape[0]
-        feats = point_features(x_blk, y_blk, z_blk, beam_rad)  # (n_chunks, blk, F)
+    def run(feats_b, w0_blocks, rows, los, counts, bank_data_t, bank_wide_t):
+        n_chunks = rows.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, blk, N_FEAT), lambda i, *_: (i, 0, 0),
+                    (1, blk, N_FEAT), lambda i, w0b, *_: (w0b[i], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -244,7 +251,7 @@ def make_pallas_occluder_phase(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(rows, los, counts, feats, bank_data_t, bank_wide_t)
+        )(w0_blocks, rows, los, counts, feats_b, bank_data_t, bank_wide_t)
         return a1, a2, dist, valid > 0.5, ovf[:, 0, :]
 
     # NOTE: under vmap over a frame batch the scalar-prefetch pallas_call
