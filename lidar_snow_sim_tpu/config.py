@@ -98,6 +98,10 @@ class SnowfallConfig:
     # interpreter (CPU testing only).
     use_pallas: bool = True
     pallas_interpret: bool = False
+    # interleave two chunks per phase-A grid step (independent extraction
+    # chains double the ILP of the latency-bound masked-argmin loop);
+    # requires an even chunk count, else falls back to single-chunk
+    pallas_pair: bool = False
 
     # plane fit / laser parameter estimation
     ransac_trials: int = 64

@@ -538,12 +538,17 @@ def snowfall_augment_dense(
         max_az = jnp.where(
             has, saz[jnp.clip(a_hi - 1, 0, n_pad - 1)], -jnp.inf
         )
-        lo_raw = _batched_searchsorted(
-            bank.angle, row_of_chunk, min_az - delta, k_ext
+        # ONE fused binary search for both bounds: two separate calls are
+        # two sequential ~15-step scalar-gather chains (latency-bound over
+        # tiny arrays); one call on stacked targets halves the chain
+        both = _batched_searchsorted(
+            bank.angle,
+            jnp.concatenate([row_of_chunk, row_of_chunk]),
+            jnp.concatenate([min_az - delta, max_az + delta]),
+            k_ext,
         )
-        hi_req = _batched_searchsorted(
-            bank.angle, row_of_chunk, max_az + delta, k_ext
-        )
+        lo_raw = both[:n_chunks]
+        hi_req = both[n_chunks:]
 
         lo = jnp.clip(lo_raw, 0, k_ext - w_pallas)
         lo = (lo // 128) * 128
@@ -555,6 +560,7 @@ def snowfall_augment_dense(
             blk=blk, w_sl=w_pallas, wide_cap=bank.wide_t.shape[2],
             k_occ=cfg.max_occluders, beam_rad=cfg.beam_divergence_rad,
             interpret=cfg.pallas_interpret,
+            pair=cfg.pallas_pair and n_chunks % 2 == 0,
         )
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
             feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
@@ -745,7 +751,13 @@ def snowfall_augment_dense(
         c_a1 = gather_c(occ_a1, ci)
         c_a2 = gather_c(occ_a2, ci)
         c_rr = gather_c(occ_dist, ci)
-        c_occ_valid = gather_c(occ_valid, ci) & c_ok[:, None]
+        # validity is derivable from the gathered ranges: the kernel writes
+        # dist = _BIG (3e38) for empty top-k slots and real ranges are
+        # < lidar_range, so the fourth K-plane gather is redundant. The
+        # per-point valid_blk mask needs no re-apply here — compaction
+        # (any_occ over the MASKED occ_valid) only admits valid points,
+        # whose kernel valid column equals dist < _BIG exactly.
+        c_occ_valid = (c_rr < 1e37) & c_ok[:, None]
     else:
         c_ch = ci // pch          # channel of slot i is i // pch (C, pch)
         valid_flat = slot_valid.reshape(n2)

@@ -60,6 +60,88 @@ def point_features(x, y, z, beam_rad: float):
     )
 
 
+def _prep_side(feat, cand, n_row, *, blk: int, w_sl: int, k_occ: int):
+    """Intersection test + interval computation for one (blk, C) chunk.
+
+    Returns (score, a1b, a2b, overflow (blk,) i32, block_k scalar) — the
+    inputs of the iterative nearest-K extraction loop.
+    """
+    d_orig = feat[:, 0:1]
+    right = feat[:, 1:2]
+    left = feat[:, 2:3]
+    sin_r = feat[:, 3:4]
+    cos_r = feat[:, 4:5]
+    sin_l = feat[:, 5:6]
+    cos_l = feat[:, 6:7]
+    wrapped_beam = feat[:, 7:8] > 0.5
+
+    px = cand[0:1, :]                                 # (1, C)
+    py = cand[1:2, :]
+    pr = cand[2:3, :]
+    pdist = cand[3:4, :]
+    pang = cand[4:5, :]
+    halfw = cand[5:6, :]
+
+    # ---- exact intersection test (ops/geometry.candidate_intervals) ----
+    center_in = (right <= pang) & (pang <= left)
+    center_in |= wrapped_beam & (right - TWO_PI <= pang) & (pang <= left)
+    center_in |= wrapped_beam & (right <= pang) & (pang <= left + TWO_PI)
+
+    dist_r = jnp.abs(px * sin_r - py * cos_r)
+    dist_l = jnp.abs(px * sin_l - py * cos_l)
+    # half-plane: cos(edge - pang) > 0  <=>  cos_e*px + sin_e*py > 0
+    right_hit = (dist_r < pr) & (cos_r * px + sin_r * py > 0)
+    left_hit = (dist_l < pr) & (cos_l * px + sin_l * py > 0)
+
+    hit = (center_in | right_hit | left_hit) & (pdist < d_orig)  # (blk, C)
+
+    # wrap-pad dedup (banks.py layout): slice entries repeat with period
+    # count[row], so a seam-spanning slice wider than the narrow count hits
+    # the same particle twice. Keep only the first copy (slice offset <
+    # count); wide-list columns (offset >= w_sl) are never duplicated.
+    col_1c = jax.lax.broadcasted_iota(jnp.int32, (1, hit.shape[1]), 1)
+    hit = hit & ((col_1c >= w_sl) | (col_1c < n_row))
+
+    a1_raw = pang - halfw
+    a1_raw = jnp.where(a1_raw < 0, a1_raw + TWO_PI, a1_raw)
+    a2_raw = pang + halfw
+    a2_raw = jnp.where(a2_raw > TWO_PI, a2_raw - TWO_PI, a2_raw)
+    a1 = jnp.where(right_hit, right, a1_raw)          # (blk, C)
+    a2 = jnp.where(left_hit, left, a2_raw)
+
+    n_hit = jnp.sum(hit.astype(jnp.int32), axis=1)
+    ovf = jnp.maximum(n_hit - k_occ, 0)
+
+    score = jnp.where(hit, jnp.broadcast_to(pdist, hit.shape), _BIG)
+    c = score.shape[1]
+    a1b = jnp.broadcast_to(a1, (blk, c))
+    a2b = jnp.broadcast_to(a2, (blk, c))
+    block_k = jnp.minimum(jnp.max(n_hit), k_occ)
+    return score, a1b, a2b, ovf, block_k
+
+
+def _extract_step(k, score, col, a1b, a2b, a1_out, a2_out, dist_out,
+                  valid_out, s: int):
+    """One masked-argmin extraction trip (== top_k value/index order);
+    writes the k-th occluder of output block row `s` and returns the score
+    with the winner retired."""
+    c = score.shape[1]
+    m = jnp.min(score, axis=1, keepdims=True)          # (blk, 1)
+    eq = score == m
+    first = jnp.min(jnp.where(eq, col, c), axis=1, keepdims=True)
+    onehot = col == first
+    valid = m < _BIG
+    a1_out[s, pl.ds(k, 1), :] = jnp.sum(
+        jnp.where(onehot, a1b, 0.0), axis=1
+    )[None, :]
+    a2_out[s, pl.ds(k, 1), :] = jnp.sum(
+        jnp.where(onehot, a2b, 0.0), axis=1
+    )[None, :]
+    dist_out[s, pl.ds(k, 1), :] = m[:, 0][None, :]
+    valid_out[s, pl.ds(k, 1), :] = valid[:, 0].astype(jnp.float32)[None, :]
+    return jnp.where(onehot, _BIG, score)
+
+
 def _kernel(
     w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
@@ -95,96 +177,115 @@ def _kernel(
     )
     slice_cp.start()
     wide_cp.start()
-
     feat = feat_ref[0]                                # (blk, N_FEAT)
-    d_orig = feat[:, 0:1]
-    right = feat[:, 1:2]
-    left = feat[:, 2:3]
-    sin_r = feat[:, 3:4]
-    cos_r = feat[:, 4:5]
-    sin_l = feat[:, 5:6]
-    cos_l = feat[:, 6:7]
-    wrapped_beam = feat[:, 7:8] > 0.5
-
     slice_cp.wait()
     wide_cp.wait()
 
-    px = cand_scr[0:1, :]                             # (1, C)
-    py = cand_scr[1:2, :]
-    pr = cand_scr[2:3, :]
-    pdist = cand_scr[3:4, :]
-    pang = cand_scr[4:5, :]
-    halfw = cand_scr[5:6, :]
-
-    # ---- exact intersection test (ops/geometry.candidate_intervals) ----
-    center_in = (right <= pang) & (pang <= left)
-    center_in |= wrapped_beam & (right - TWO_PI <= pang) & (pang <= left)
-    center_in |= wrapped_beam & (right <= pang) & (pang <= left + TWO_PI)
-
-    dist_r = jnp.abs(px * sin_r - py * cos_r)
-    dist_l = jnp.abs(px * sin_l - py * cos_l)
-    # half-plane: cos(edge - pang) > 0  <=>  cos_e*px + sin_e*py > 0
-    right_hit = (dist_r < pr) & (cos_r * px + sin_r * py > 0)
-    left_hit = (dist_l < pr) & (cos_l * px + sin_l * py > 0)
-
-    hit = (center_in | right_hit | left_hit) & (pdist < d_orig)  # (blk, C)
-
-    # wrap-pad dedup (banks.py layout): slice entries repeat with period
-    # count[row], so a seam-spanning slice wider than the narrow count hits
-    # the same particle twice. Keep only the first copy (slice offset <
-    # count); wide-list columns (offset >= w_sl) are never duplicated.
-    n_row = counts_ref[row]
-    col_1c = jax.lax.broadcasted_iota(jnp.int32, (1, hit.shape[1]), 1)
-    hit = hit & ((col_1c >= w_sl) | (col_1c < n_row))
-
-    a1_raw = pang - halfw
-    a1_raw = jnp.where(a1_raw < 0, a1_raw + TWO_PI, a1_raw)
-    a2_raw = pang + halfw
-    a2_raw = jnp.where(a2_raw > TWO_PI, a2_raw - TWO_PI, a2_raw)
-    a1 = jnp.where(right_hit, right, a1_raw)          # (blk, C)
-    a2 = jnp.where(left_hit, left, a2_raw)
-
-    n_hit = jnp.sum(hit.astype(jnp.int32), axis=1)
-    ovf_out[0, 0, :] = jnp.maximum(n_hit - k_occ, 0)
-
-    # ---- iterative nearest-K extraction (== top_k value/index order) ----
-    # Trip count is the block's max occluder count (occluders are sparse:
-    # typically <= 8 of K=24), with untaken slots pre-cleared.
-    score = jnp.where(hit, jnp.broadcast_to(pdist, hit.shape), _BIG)
-    c = score.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (blk, c), 1)
+    score, a1b, a2b, ovf, block_k = _prep_side(
+        feat, cand_scr[:, :], counts_ref[row],
+        blk=blk, w_sl=w_sl, k_occ=k_occ,
+    )
+    ovf_out[0, 0, :] = ovf
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk, score.shape[1]), 1)
 
     a1_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
     a2_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
     dist_out[0] = jnp.full((k_occ, blk), _BIG, jnp.float32)
     valid_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
 
-    a1b = jnp.broadcast_to(a1, (blk, c))
-    a2b = jnp.broadcast_to(a2, (blk, c))
-    block_k = jnp.minimum(jnp.max(n_hit), k_occ)
-
+    # Trip count is the block's max occluder count (occluders are sparse:
+    # typically <= 8 of K=24), with untaken slots pre-cleared.
     def body(k, score):
-        m = jnp.min(score, axis=1, keepdims=True)          # (blk, 1)
-        eq = score == m
-        first = jnp.min(jnp.where(eq, col, c), axis=1, keepdims=True)
-        onehot = col == first
-        valid = m < _BIG
-        a1_out[0, pl.ds(k, 1), :] = jnp.sum(
-            jnp.where(onehot, a1b, 0.0), axis=1
-        )[None, :]
-        a2_out[0, pl.ds(k, 1), :] = jnp.sum(
-            jnp.where(onehot, a2b, 0.0), axis=1
-        )[None, :]
-        dist_out[0, pl.ds(k, 1), :] = m[:, 0][None, :]
-        valid_out[0, pl.ds(k, 1), :] = valid[:, 0].astype(jnp.float32)[None, :]
-        return jnp.where(onehot, _BIG, score)
+        return _extract_step(
+            k, score, col, a1b, a2b,
+            a1_out, a2_out, dist_out, valid_out, 0,
+        )
 
     jax.lax.fori_loop(0, block_k, body, score)
 
 
+def _kernel_pair(
+    w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
+    rows_ref,      # (n_chunks,) i32, scalar-prefetch
+    los_ref,       # (n_chunks,) i32, scalar-prefetch
+    counts_ref,    # (C_banks,) i32, scalar-prefetch
+    feat_a_ref,    # (1, blk, N_FEAT) VMEM block of chunk 2i
+    feat_b_ref,    # (1, blk, N_FEAT) VMEM block of chunk 2i + 1
+    bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
+    wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
+    a1_out,        # (2, K, blk)
+    a2_out,
+    dist_out,
+    valid_out,
+    ovf_out,       # (2, 1, blk) i32
+    cand_scr,      # VMEM (2, N_PROP, W + Wc)
+    sems,          # DMA semaphores (4,)
+    *,
+    blk: int,
+    w_sl: int,
+    wide_cap: int,
+    k_occ: int,
+):
+    """Two chunks per grid step with their extraction loops INTERLEAVED.
+
+    The single-chunk loop body is one serial dependence chain of small
+    reduce/broadcast ops (min -> eq -> argmin -> masked sums), so the VPU
+    sits ~55% idle on latency. Interleaving two independent chains doubles
+    the ILP the scheduler can exploit; the price is a shared trip count
+    max(block_k_a, block_k_b) and 2x scratch."""
+    i = pl.program_id(0)
+    cps = []
+    for s in (0, 1):
+        row = rows_ref[2 * i + s]
+        lo = pl.multiple_of(los_ref[2 * i + s], 128)
+        slice_cp = pltpu.make_async_copy(
+            bank_ref.at[row, :, pl.ds(lo, w_sl)],
+            cand_scr.at[s, :, pl.ds(0, w_sl)],
+            sems.at[2 * s],
+        )
+        wide_cp = pltpu.make_async_copy(
+            wide_ref.at[row],
+            cand_scr.at[s, :, pl.ds(w_sl, wide_cap)],
+            sems.at[2 * s + 1],
+        )
+        slice_cp.start()
+        wide_cp.start()
+        cps.append((slice_cp, wide_cp, row))
+
+    sides = []
+    for s, (slice_cp, wide_cp, row) in enumerate(cps):
+        feat = (feat_a_ref if s == 0 else feat_b_ref)[0]
+        slice_cp.wait()
+        wide_cp.wait()
+        score, a1b, a2b, ovf, block_k = _prep_side(
+            feat, cand_scr[s], counts_ref[row],
+            blk=blk, w_sl=w_sl, k_occ=k_occ,
+        )
+        ovf_out[s, 0, :] = ovf
+        a1_out[s] = jnp.zeros((k_occ, blk), jnp.float32)
+        a2_out[s] = jnp.zeros((k_occ, blk), jnp.float32)
+        dist_out[s] = jnp.full((k_occ, blk), _BIG, jnp.float32)
+        valid_out[s] = jnp.zeros((k_occ, blk), jnp.float32)
+        sides.append((score, a1b, a2b, block_k))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk, sides[0][0].shape[1]), 1)
+    block_k = jnp.maximum(sides[0][3], sides[1][3])
+
+    def body(k, carry):
+        return tuple(
+            _extract_step(
+                k, carry[s], col, sides[s][1], sides[s][2],
+                a1_out, a2_out, dist_out, valid_out, s,
+            )
+            for s in (0, 1)
+        )
+
+    jax.lax.fori_loop(0, block_k, body, (sides[0][0], sides[1][0]))
+
+
 def make_pallas_occluder_phase(
     *, blk: int, w_sl: int, wide_cap: int, k_occ: int, beam_rad: float,
-    interpret: bool = False,
+    interpret: bool = False, pair: bool = False,
 ):
     """Build the fused phase-A callable for fixed static shapes.
 
@@ -203,38 +304,71 @@ def make_pallas_occluder_phase(
     as sort payloads instead of gathering them into (C, pch) slots (the two
     slot gathers were 25% of the bench step).
     """
-    kernel = functools.partial(
-        _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
-    )
+    if pair:
+        kernel = functools.partial(
+            _kernel_pair, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
+        )
 
     def run(feats_b, w0_blocks, rows, los, counts, bank_data_t, bank_wide_t):
         n_chunks = rows.shape[0]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(n_chunks,),
-            in_specs=[
+        if pair:
+            assert n_chunks % 2 == 0, "pair=True needs an even chunk count"
+            grid = (n_chunks // 2,)
+            feat_specs = [
+                pl.BlockSpec(
+                    (1, blk, N_FEAT),
+                    lambda i, w0b, *_: (w0b[2 * i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, blk, N_FEAT),
+                    lambda i, w0b, *_: (w0b[2 * i + 1], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            feat_args = (feats_b, feats_b)
+            blk0 = 2
+            scratch = [
+                pltpu.VMEM((2, N_PROP, w_sl + wide_cap), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ]
+        else:
+            grid = (n_chunks,)
+            feat_specs = [
                 pl.BlockSpec(
                     (1, blk, N_FEAT), lambda i, w0b, *_: (w0b[i], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+            ]
+            feat_args = (feats_b,)
+            blk0 = 1
+            scratch = [
+                pltpu.VMEM((N_PROP, w_sl + wide_cap), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=feat_specs + [
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (1, k_occ, blk), lambda i, *_: (i, 0, 0),
+                    (blk0, k_occ, blk), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ] * 4 + [
                 pl.BlockSpec(
-                    (1, 1, blk), lambda i, *_: (i, 0, 0),
+                    (blk0, 1, blk), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((N_PROP, w_sl + wide_cap), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
         )
         a1, a2, dist, valid, ovf = pl.pallas_call(
             kernel,
@@ -248,10 +382,10 @@ def make_pallas_occluder_phase(
             ],
             compiler_params=pltpu.CompilerParams(
                 # allow wide blocks (blk x slice intersection state)
-                vmem_limit_bytes=64 * 1024 * 1024,
+                vmem_limit_bytes=(128 if pair else 64) * 1024 * 1024,
             ),
             interpret=interpret,
-        )(w0_blocks, rows, los, counts, feats_b, bank_data_t, bank_wide_t)
+        )(w0_blocks, rows, los, counts, *feat_args, bank_data_t, bank_wide_t)
         return a1, a2, dist, valid > 0.5, ovf[:, 0, :]
 
     # NOTE: under vmap over a frame batch the scalar-prefetch pallas_call
