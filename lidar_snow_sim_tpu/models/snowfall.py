@@ -40,6 +40,7 @@ from lidar_snow_sim_tpu.ops.geometry import beam_limits, candidate_intervals
 from lidar_snow_sim_tpu.ops.laser import estimate_laser_parameters
 from lidar_snow_sim_tpu.ops.sweep import occlusion_sweep
 from lidar_snow_sim_tpu.ops.waveform import waveform_peak, xsi
+from lidar_snow_sim_tpu.sampling.banks import LUT_BINS, LUT_HI, LUT_LO
 
 _INF = jnp.float32(jnp.inf)
 
@@ -476,14 +477,17 @@ def snowfall_augment_dense(
             point_features,
         )
 
-        # Gather-free slot layout: x/y/z/intensity/azimuth/orig-index RIDE
-        # the (channel, azimuth) sort as payload operands, and chunks are
+        # Gather-free slot layout: x/y/z/intensity/orig-index RIDE the
+        # (channel, azimuth) sort as payload operands, and chunks are
         # blk-aligned WINDOWS of the sorted order. The former slot layout
         # ((C, pch) slot-index gather at :476 plus the 5-row column gather
-        # it fed at :486) was 14.5 ms/step — 25% of the bench step.
-        (s_key, sx, sy, sz, si, saz, sperm) = jax.lax.sort(
+        # it fed at :486) was 14.5 ms/step — 25% of the bench step. Azimuth
+        # is NOT a payload: each multi-operand sort column is ~0.7 ms/step
+        # of staging, and az is recomputed exactly (same atan2 on the same
+        # f32 x/y) at the 2 x n_chunks window-bound rows only.
+        (s_key, sx, sy, sz, si, sperm) = jax.lax.sort(
             (
-                sort_key, xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity, az,
+                sort_key, xyz[:, 0], xyz[:, 1], xyz[:, 2], intensity,
                 jnp.arange(n, dtype=jnp.int32),
             ),
             num_keys=1, is_stable=True,
@@ -492,8 +496,8 @@ def snowfall_augment_dense(
         if n_pad != n:
             pw = n_pad - n
             s_key = jnp.pad(s_key, (0, pw), constant_values=1e9)
-            sx, sy, sz, si, saz = (
-                jnp.pad(a, (0, pw)) for a in (sx, sy, sz, si, saz)
+            sx, sy, sz, si = (
+                jnp.pad(a, (0, pw)) for a in (sx, sy, sz, si)
             )
             sperm = jnp.pad(sperm, (0, pw), constant_values=n)
         bounds = jnp.searchsorted(
@@ -530,25 +534,34 @@ def snowfall_augment_dense(
 
         # azimuth ASCENDS within a channel (the sort key is ch*8 + az), so a
         # window's az bounds are its first/last in-channel elements — two
-        # n_chunks-sized gathers instead of masked min/max over (n2,)
+        # n_chunks-sized x/y gathers + exact atan2 recompute (same f32 ops
+        # as the sort key's az, so ordering is consistent)
         a_lo = jnp.maximum(w0, start_c)
         a_hi = jnp.minimum(w0 + blk, end_c)
         has = alive & (a_lo < a_hi)
-        min_az = jnp.where(has, saz[jnp.clip(a_lo, 0, n_pad - 1)], jnp.inf)
+        ia = jnp.clip(a_lo, 0, n_pad - 1)
+        ib = jnp.clip(a_hi - 1, 0, n_pad - 1)
+        min_az = jnp.where(
+            has, jnp.arctan2(sy[ia], sx[ia]), jnp.inf
+        )
         max_az = jnp.where(
-            has, saz[jnp.clip(a_hi - 1, 0, n_pad - 1)], -jnp.inf
+            has, jnp.arctan2(sy[ib], sx[ib]), -jnp.inf
         )
-        # ONE fused binary search for both bounds: two separate calls are
-        # two sequential ~15-step scalar-gather chains (latency-bound over
-        # tiny arrays); one call on stacked targets halves the chain
-        both = _batched_searchsorted(
-            bank.angle,
-            jnp.concatenate([row_of_chunk, row_of_chunk]),
-            jnp.concatenate([min_az - delta, max_az + delta]),
-            k_ext,
-        )
-        lo_raw = both[:n_chunks]
-        hi_req = both[n_chunks:]
+        # slice bounds from the bank's precomputed azimuth-bin LUT
+        # (banks.LUT_*): one tiny gather per bound instead of a ~15-step
+        # sequential binary-search chain (3 ms/step at bench shapes). The
+        # +-1-bin guard keeps the bounds CONSERVATIVE (lo' <= true lo,
+        # hi' >= true hi) against floor rounding, which can only widen the
+        # required coverage; cover_overflow stays a safe over-check.
+        inv_w = LUT_BINS / (LUT_HI - LUT_LO)
+        b_lo = jnp.clip(
+            jnp.floor((min_az - delta - LUT_LO) * inv_w) - 1, 0, LUT_BINS
+        ).astype(jnp.int32)
+        b_hi = jnp.clip(
+            jnp.floor((max_az + delta - LUT_LO) * inv_w) + 2, 0, LUT_BINS
+        ).astype(jnp.int32)
+        lo_raw = bank.lut[row_of_chunk, b_lo]
+        hi_req = bank.lut[row_of_chunk, b_hi]
 
         lo = jnp.clip(lo_raw, 0, k_ext - w_pallas)
         lo = (lo // 128) * 128
