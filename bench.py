@@ -151,6 +151,7 @@ def main():
         slice_width=int(os.environ.get("BENCH_SLICE", "1152")),
         pulse_block=int(os.environ.get("BENCH_PBLOCK", "512")),
         pallas_pair=os.environ.get("BENCH_PAIR", "0") == "1",
+        pulse_pair=os.environ.get("BENCH_PPAIR", "0") == "1",
         chunk_group=8,
     )
     bank = jax.device_put(

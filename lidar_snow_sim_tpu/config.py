@@ -102,6 +102,10 @@ class SnowfallConfig:
     # chains double the ILP of the latency-bound masked-argmin loop);
     # requires an even chunk count, else falls back to single-chunk
     pallas_pair: bool = False
+    # same idea for the pulse kernel: count-bucketed compaction makes
+    # adjacent blocks trip-count-homogeneous, so the shared max(trips)
+    # is ~free there
+    pulse_pair: bool = False
 
     # plane fit / laser parameter estimation
     ransac_trials: int = 64

@@ -824,6 +824,7 @@ def snowfall_augment_dense(
             blk=pblk, k_occ=k_occ, beam_rad=cfg.beam_divergence_rad,
             ipm=ipm, c_tau=c_tau, xsi_r1=cfg.xsi_r1, xsi_r2=cfg.xsi_r2,
             interpret=cfg.pallas_interpret,
+            pair=cfg.pulse_pair and (cap // pblk) % 2 == 0,
         )
         pb = lambda a: a.reshape((cap // pblk, pblk) + a.shape[1:])
         i_peak, peak_idx, touched_any, _rem = run_pulse(

@@ -194,9 +194,205 @@ def _kernel(
     idx_ref[0, 0, :] = first
 
 
+def _side_state(feat, a1, a2, rr, valid, *, blk, k_occ, beam_rad, ipm,
+                c_tau, xsi_r1, xsi_r2):
+    """Pre-loop sweep state + post-sweep waveform builder for one block.
+
+    Returns (endpoints, a1_adj, a2_adj, valid, trips, finish) where
+    finish(claimed, unclaimed) computes the waveform inputs and returns
+    (wave0, rr_all, amp_all, last_active, touched, remainder, wave_body).
+    Identical ops to the single-block `_kernel` — interleaving two blocks
+    must stay bit-exact.
+    """
+    d_orig = feat[:, 0:1]
+    right = feat[:, 1:2]
+    left = feat[:, 2:3]
+    amp_scale = feat[:, 3:4]
+
+    wrapped = right > left
+    right_u = jnp.where(wrapped, right - TWO_PI, right)
+    a1 = jnp.where(wrapped & (a1 > a2), a1 - TWO_PI, a1)
+    a1 = jnp.where(valid, a1, left)
+    a2 = jnp.where(valid, a2, left)
+
+    m_e = 2 * k_occ + 2
+    endpoints = jnp.concatenate([right_u, left, a1, a2], axis=1)
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
+    trips = jnp.minimum(2 * jnp.max(n_valid) + 3, m_e)
+
+    def finish(claimed, unclaimed):
+        unclaimed = unclaimed[:, 0]
+        ratio = jnp.clip(claimed / beam_rad, 0.0, 1.0)
+        remainder = jnp.clip(unclaimed / beam_rad, 0.0, 1.0)
+        touched = jnp.any(claimed > 0.0, axis=1)
+
+        def xsi(r):
+            return jnp.clip((r - xsi_r1) / (xsi_r2 - xsi_r1), 0.0, 1.0)
+
+        rr_all = jnp.concatenate([rr, d_orig], axis=1)
+        share = jnp.concatenate([ratio, remainder[:, None]], axis=1)
+        r_amp = jnp.clip(rr_all, 1e-6, 1e6)
+        amp_all = amp_scale * share * xsi(r_amp) / (r_amp * r_amp)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
+        last_active = jnp.max(jnp.where(ratio > 0.0, kcol + 1, 0))
+        return rr_all, amp_all, last_active, touched, remainder
+
+    return endpoints, a1, a2, valid, trips, finish
+
+
+def _kernel_pair(
+    feat_a_ref, feat_b_ref,
+    a1_a_ref, a1_b_ref,
+    a2_a_ref, a2_b_ref,
+    rr_a_ref, rr_b_ref,
+    valid_a_ref, valid_b_ref,
+    cosb_a_ref, cosb_b_ref,
+    sinb_a_ref, sinb_b_ref,
+    cosg_ref, sing_ref,
+    peak_ref,      # (2, 1, blk)
+    idx_ref,
+    touched_ref,
+    remainder_ref,
+    *,
+    blk: int,
+    k_occ: int,
+    beam_rad: float,
+    ipm: float,
+    c_tau: float,
+    xsi_r1: float,
+    xsi_r2: float,
+):
+    """Two pulse blocks per grid step, sweep + wave loops INTERLEAVED.
+
+    The sweep walk is a sequential dependence chain of small (blk, M_e)
+    reduce/broadcast ops; two independent chains double the exploitable
+    ILP. Count-bucketed compaction (models/snowfall.py phase B) sorts
+    blocks by occluder count, so ADJACENT blocks have near-equal trip
+    counts and the shared max(trips_a, trips_b) costs ~nothing — unlike
+    the phase-A pairing experiment, where trip counts are uncorrelated.
+    Extra trips on the shorter side are exact no-ops (live-row guard in
+    the sweep; amp == 0 bumps in the wave)."""
+    kw = dict(
+        blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm, c_tau=c_tau,
+        xsi_r1=xsi_r1, xsi_r2=xsi_r2,
+    )
+    sides = []
+    for feat_ref, a1_ref, a2_ref, rr_ref, valid_ref, cb_ref, sb_ref in (
+        (feat_a_ref, a1_a_ref, a2_a_ref, rr_a_ref, valid_a_ref,
+         cosb_a_ref, sinb_a_ref),
+        (feat_b_ref, a1_b_ref, a2_b_ref, rr_b_ref, valid_b_ref,
+         cosb_b_ref, sinb_b_ref),
+    ):
+        sides.append((
+            _side_state(
+                feat_ref[0], a1_ref[0], a2_ref[0], rr_ref[0],
+                valid_ref[0] > 0.5, **kw,
+            ),
+            cb_ref[0], sb_ref[0],
+        ))
+
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
+    m_e = 2 * k_occ + 2
+
+    def sweep_side(k, carry, a1, a2, valid):
+        score, prev, claimed, unclaimed = carry
+        cur = jnp.min(score, axis=1, keepdims=True)
+        live = cur < _BIG / 2
+        width = jnp.where((k > 0) & live, cur - prev, 0.0)
+        mid = 0.5 * (cur + prev)
+        cover_k = (a1 <= mid) & (mid <= a2) & valid
+        widx = jnp.min(
+            jnp.where(cover_k, col_k, k_occ), axis=1, keepdims=True
+        )
+        claimed = claimed + jnp.where(col_k == widx, width, 0.0)
+        unclaimed = unclaimed + jnp.where(widx >= k_occ, width, 0.0)
+        score = jnp.where(score == cur, _BIG, score)
+        prev = jnp.where(live, cur, prev)
+        return score, prev, claimed, unclaimed
+
+    trips = jnp.maximum(sides[0][0][4], sides[1][0][4])
+
+    def sweep_body(k, carry):
+        return tuple(
+            sweep_side(
+                k, carry[s], sides[s][0][1], sides[s][0][2], sides[s][0][3]
+            )
+            for s in (0, 1)
+        )
+
+    def init_carry(endpoints):
+        return (
+            endpoints,
+            jnp.zeros((blk, 1), jnp.float32),
+            jnp.zeros((blk, k_occ), jnp.float32),
+            jnp.zeros((blk, 1), jnp.float32),
+        )
+
+    carries = jax.lax.fori_loop(
+        0, trips, sweep_body,
+        (init_carry(sides[0][0][0]), init_carry(sides[1][0][0])),
+    )
+
+    cos_g = cosg_ref[0][None, :]
+    sin_g = sing_ref[0][None, :]
+    m_bins = cos_g.shape[1]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, m_bins), 1).astype(
+        jnp.float32
+    )
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ + 1), 1)
+
+    def bump_wave(r_b, amp_b, cb, sb):
+        window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
+        pulse = 0.5 * (1.0 - (cos_g * cb + sin_g * sb))
+        return jnp.where(window, amp_b * pulse, 0.0)
+
+    waves = []
+    for s in (0, 1):
+        (_, _, _, _, _, finish), cb_all, sb_all = sides[s]
+        _, _, claimed, unclaimed = carries[s]
+        rr_all, amp_all, last_active, touched, remainder = finish(
+            claimed, unclaimed
+        )
+        touched_ref[s, 0, :] = touched.astype(jnp.float32)
+        remainder_ref[s, 0, :] = remainder
+        wave0 = bump_wave(
+            rr_all[:, k_occ:], amp_all[:, k_occ:],
+            cb_all[:, k_occ:], sb_all[:, k_occ:],
+        )
+        waves.append((wave0, rr_all, amp_all, cb_all, sb_all, last_active))
+
+    last_active = jnp.maximum(waves[0][5], waves[1][5])
+
+    def wave_side(b, wave, rr_all, amp_all, cb_all, sb_all):
+        sel = bcol == b
+        pick = lambda v: jnp.sum(
+            jnp.where(sel, v, 0.0), axis=1, keepdims=True
+        )
+        return wave + bump_wave(
+            pick(rr_all), pick(amp_all), pick(cb_all), pick(sb_all)
+        )
+
+    def wave_body(b, carry):
+        return tuple(
+            wave_side(b, carry[s], *waves[s][1:5]) for s in (0, 1)
+        )
+
+    final = jax.lax.fori_loop(
+        0, last_active, wave_body, (waves[0][0], waves[1][0])
+    )
+
+    colm = jax.lax.broadcasted_iota(jnp.int32, (blk, m_bins), 1)
+    for s in (0, 1):
+        wave = final[s]
+        peak = jnp.max(wave, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(wave == peak, colm, m_bins), axis=1)
+        peak_ref[s, 0, :] = peak[:, 0]
+        idx_ref[s, 0, :] = first
+
+
 def make_pallas_pulse_phase(
     *, blk: int, k_occ: int, beam_rad: float, ipm: float, c_tau: float,
-    xsi_r1: float, xsi_r2: float, interpret: bool = False,
+    xsi_r1: float, xsi_r2: float, interpret: bool = False, pair: bool = False,
 ):
     """Build the fused phase-C callable for fixed static shapes.
 
@@ -207,35 +403,61 @@ def make_pallas_pulse_phase(
     size-5/2 axis would be the HBM minormost dim and pad 128x under TPU
     (8, 128) tiling (3 GB of padded temps per 16-scan batch).
     """
-    kernel = functools.partial(
-        _kernel, blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm,
-        c_tau=c_tau, xsi_r1=xsi_r1, xsi_r2=xsi_r2,
-    )
+    if pair:
+        kernel = functools.partial(
+            _kernel_pair, blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm,
+            c_tau=c_tau, xsi_r1=xsi_r1, xsi_r2=xsi_r2,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel, blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm,
+            c_tau=c_tau, xsi_r1=xsi_r1, xsi_r2=xsi_r2,
+        )
 
     def run(feats, a1, a2, rr, valid, cos_b, sin_b, cos_g, sin_g):
         n_blk = feats.shape[0]
         m_bins = cos_g.shape[0]
-        k_spec = pl.BlockSpec(
-            (1, blk, k_occ), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        k1_spec = pl.BlockSpec(
-            (1, blk, k_occ + 1), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+
+        def spec(w, f):
+            return pl.BlockSpec((1, blk, w), f, memory_space=pltpu.VMEM)
+
+        if pair:
+            assert n_blk % 2 == 0, "pair=True needs an even block count"
+            grid = (n_blk // 2,)
+            even = lambda i: (2 * i, 0, 0)
+            odd = lambda i: (2 * i + 1, 0, 0)
+
+            def dual(w):
+                return [spec(w, even), spec(w, odd)]
+
+            in_specs = (
+                dual(feats.shape[2]) + dual(k_occ) * 4 + dual(k_occ + 1) * 2
+            )
+            operands = (
+                feats, feats, a1, a1, a2, a2, rr, rr, valid, valid,
+                cos_b, cos_b, sin_b, sin_b,
+            )
+            blk0 = 2
+        else:
+            grid = (n_blk,)
+            one = lambda i: (i, 0, 0)
+            in_specs = (
+                [spec(feats.shape[2], one)] + [spec(k_occ, one)] * 4
+                + [spec(k_occ + 1, one)] * 2
+            )
+            operands = (feats, a1, a2, rr, valid, cos_b, sin_b)
+            blk0 = 1
         out = pl.pallas_call(
             kernel,
-            grid=(n_blk,),
-            in_specs=[
-                pl.BlockSpec((1, blk, feats.shape[2]),
-                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                k_spec, k_spec, k_spec, k_spec, k1_spec, k1_spec,
+            grid=grid,
+            in_specs=in_specs + [
                 pl.BlockSpec((1, m_bins), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, m_bins), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, blk), lambda i: (i, 0, 0),
+                pl.BlockSpec((blk0, 1, blk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ] * 4,
             out_shape=[
@@ -251,7 +473,7 @@ def make_pallas_pulse_phase(
             ),
             interpret=interpret,
         )(
-            feats, a1, a2, rr, valid, cos_b, sin_b,
+            *operands,
             cos_g[None, :], sin_g[None, :],
         )
         peak, idx, touched, remainder = out

@@ -145,6 +145,31 @@ def test_pallas_pair_matches_window(setup):
     assert int(rw.num_attenuated) == int(rp.num_attenuated)
 
 
+def test_pulse_pair_matches_window(setup):
+    """The paired pulse kernel (two interleaved sweep/wave loops per grid
+    step) must stay bit-identical to the window path."""
+    base = dict(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, point_chunk=256,
+    )
+    rw = _run(setup, SnowfallConfig(**base, assembly="window"))
+    rp = _run(
+        setup,
+        SnowfallConfig(
+            **base, assembly="dense", channel_capacity=128,
+            block_points=32, slice_width=256, chunk_group=8,
+            use_pallas=True, pallas_interpret=True, pulse_pair=True,
+            pulse_block=64,
+        ),
+    )
+    assert int(rp.window_overflow) == 0
+    assert int(rp.compact_overflow) == 0
+    n = len(setup[1])
+    np.testing.assert_array_equal(rw.points[:n], rp.points[:n])
+    np.testing.assert_array_equal(rw.keep[:n], rp.keep[:n])
+    assert int(rw.num_attenuated) == int(rp.num_attenuated)
+
+
 def test_dense_full_360_scan(setup):
     """Full-360 scans cross the +-pi azimuth seam; the signed-azimuth sort
     plus the bank's +-2pi pad entries must keep dense == window."""
