@@ -61,7 +61,9 @@ def _roofline_model(cfg, n_ch=64):
     cand = w_pallas + wc_pad
     n_prop = 8
     n_feat = 8
-    cap = cfg.compact_capacity or max(n2 // 4, cfg.pulse_chunk)
+    from lidar_snow_sim_tpu.models.snowfall import default_compact_capacity
+
+    cap = cfg.compact_capacity or default_compact_capacity(cfg, n_ch)
     pblk = 512 if cap % 512 == 0 else (256 if cap % 256 == 0 else 64)
     n_pblk = cap // pblk
     m_bins = 1230

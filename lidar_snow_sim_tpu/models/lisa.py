@@ -11,11 +11,18 @@ same physics runs as one fused jittable kernel:
   (ops/mie.py), integrated against the Marshall–Palmer drop-size distribution
   ``N(D) = 8000·exp(-4.1·Rr^{-0.21}·D)`` [m⁻³ mm⁻¹] to get the extinction
   coefficient α(Rr) [1/m].
-- Per point, the number of droplets inside the beam cone up to the target is
-  Poisson-distributed; a fixed capacity ``max_droplets`` of candidate
-  scatterers is always sampled (positions ∝ cone volume, diameters ∝ DSD via
-  inverse-CDF) and masked by the Poisson count — fixed shapes, vmap over
-  points, no Python loops.
+- Per point, droplets form a Poisson process of mean λ = density·cone volume.
+  A fixed-shape kernel samples the ``max_droplets`` NEAREST droplets exactly
+  (radial order statistics: with U = (r/d)³ uniform in cone volume, the i-th
+  nearest droplet sits at U₍ᵢ₎ = Gᵢ/λ where Gᵢ is the i-th arrival of a unit
+  Poisson process — a cumsum of Exp(1) draws — and exists iff Gᵢ < λ), plus
+  the ``tail_droplets`` LARGEST-diameter droplets of the residual population
+  beyond them (diameter order statistics via the DSD inverse CDF at quantile
+  1 − Hⱼ/λ_res). The strongest return is the max over both candidate sets;
+  a non-sampled residual droplet has both r > r_k and D < D_tail_min, so its
+  power is bounded and the bound is CHECKED per point — when it could beat
+  the current winner the event is counted in ``droplet_overflow`` (never
+  silently clamped; the host wrapper grows ``max_droplets`` and reruns).
 - Signal model ('strongest' return): the hard target competes with each
   droplet's occlusion-weighted backscatter; below the min-detectable power the
   point is lost. Output follows the submodule's exact contract as consumed by
@@ -38,6 +45,13 @@ import numpy as np
 
 from lidar_snow_sim_tpu.ops.mie import bake_mie_lut
 
+# Shettle & Fenn 1979 modified-gamma fog presets (see LISA.Nd docstring):
+# name -> (a [cm^-3 um^-(alpha+1)], alpha, b [um^-1]) over droplet RADIUS.
+_FOG_PRESETS = {
+    "strong_advection": (0.027, 3, 0.3),
+    "moderate_radiation": (607.5, 6, 3.0),
+}
+
 
 class LisaResult(NamedTuple):
     points: jax.Array   # (N, 6): x, y, z, intensity, label, intensity_diff
@@ -45,6 +59,8 @@ class LisaResult(NamedTuple):
     num_lost: jax.Array
     num_scattered: jax.Array
     num_attenuated: jax.Array
+    droplet_overflow: jax.Array  # i32: points where a non-sampled residual
+    # droplet's power bound exceeds the winner (capacity too small)
 
 
 class LISA:
@@ -66,7 +82,9 @@ class LISA:
         range_accuracy: float = 0.09,
         signal: str = "strongest",
         max_droplets: int = 32,
+        tail_droplets: int = 8,
         dsd_points: int = 128,
+        fog_preset: str = "strong_advection",
         show_progressbar: bool = False,
     ):
         self.wavelength = wavelength
@@ -78,6 +96,8 @@ class LISA:
         self.range_accuracy = range_accuracy
         self.signal = signal
         self.max_droplets = max_droplets
+        self.tail_droplets = tail_droplets
+        self.fog_preset = fog_preset
         self.show_progressbar = show_progressbar  # accepted for API parity
 
         # ice refractive index for snow mode (Warren & Brandt 2008, 905 nm);
@@ -116,10 +136,20 @@ class LISA:
         - snow 'sekhon': Sekhon & Srivastava 1970 (J. Atmos. Sci. 27),
           N₀ = 2500·Rr^-0.94, Λ = 2.29·Rr^-0.45 mm⁻¹ (= sampling.py:72-79's
           22.9 cm⁻¹).
-        - fog: modal-diameter gamma-like profile (Rasshofer-style modified
-          gamma family); Rr is reused as a density knob. The submodule's
-          exact fog presets are not reproducible here (source unavailable,
-          PARITY.md).
+        - fog: the PUBLISHED modified-gamma fog models of Shettle & Fenn
+          1979 (AFGL-TR-79-0214, "Models for the aerosols of the lower
+          atmosphere"), the standard presets of automotive-lidar fog studies
+          (Rasshofer et al. 2011, Adv. Radio Sci. 9): droplet-radius
+          distribution n(rad) = a·rad^α·exp(-b·rad) [cm⁻³ µm⁻¹] with
+            'strong_advection':    a = 0.027,  α = 3, b = 0.3  (20 cm⁻³,
+                                   modal radius 10 µm)
+            'moderate_radiation':  a = 607.5,  α = 6, b = 3.0  (200 cm⁻³,
+                                   modal radius 2 µm)
+          converted here to m⁻³ mm⁻¹ over diameter D [mm] (rad = 500·D µm;
+          ×1e6 cm⁻³→m⁻³, ×500 per-µm-radius→per-mm-diameter). Rr is reused
+          as a dimensionless density multiplier (1.0 = the preset's nominal
+          density), matching how the viewer drives fog strength with one
+          slider.
         """
         D = np.asarray(D)
         if self.mode in ("snow", "gunn"):
@@ -129,8 +159,9 @@ class LISA:
             lam = 2.29 * Rr ** (-0.45)     # sekhon_srivastava, sampling.py:72
             return 2500.0 * Rr ** (-0.94) * np.exp(-lam * D)
         if self.mode == "fog":
-            d_mode = 0.01  # 10 µm modal diameter
-            return 1.0e8 * Rr * (D / d_mode) ** 2 * np.exp(-3.0 * D / d_mode)
+            a, alpha, b = _FOG_PRESETS[self.fog_preset]
+            rad_um = 500.0 * D             # droplet radius in µm
+            return Rr * a * rad_um**alpha * np.exp(-b * rad_um) * 1e6 * 500.0
         lam = 4.1 * Rr ** (-0.21)
         return 8000.0 * np.exp(-lam * D)
 
@@ -160,55 +191,91 @@ class LISA:
         return float(np.trapezoid(nd, self._d_grid))
 
     def _dsd_inverse_cdf(self, Rr):
-        """(quantiles, diameters, qback_at_d): inverse CDF of the DSD on the
-        quadrature grid, for on-device inverse-transform sampling."""
+        """(quantiles, diameters, qback_at_d, qback_cummax, qd2_cummax):
+        inverse CDF of the DSD on the quadrature grid for on-device
+        inverse-transform sampling, plus cumulative maxima of Qback(D) and
+        Qback(D)·D² used by the residual-droplet power bound (any droplet
+        with D <= Dm satisfies Qback·occl <= min(cummax_q(Dm),
+        cummax_qd2(Dm)/w(r)²))."""
         nd = self.Nd(self._d_grid, Rr)
         cdf = np.concatenate([[0.0], np.cumsum(
             0.5 * (nd[1:] + nd[:-1]) * np.diff(self._d_grid)
         )])
         cdf /= cdf[-1]
+        # cdf has one more entry than the grid; pad the grid-indexed arrays
+        # on the same knots as the interp targets below
         return (
             jnp.asarray(cdf, jnp.float32),
             jnp.asarray(self._d_grid, jnp.float32),
             jnp.asarray(self._qback, jnp.float32),
+            jnp.asarray(np.maximum.accumulate(self._qback), jnp.float32),
+            jnp.asarray(
+                np.maximum.accumulate(self._qback * self._d_grid**2),
+                jnp.float32,
+            ),
         )
 
     # ---- fused augmentation kernel ----
 
     def _augment_core(self, points, mask, key, alpha, density, cdf, d_grid,
-                      qback_grid):
+                      qback_grid, qmax_grid, qd2max_grid):
         """points carry intensity on the LISA-normalized [0, 1] scale."""
         bdiv = self.beam_divergence
         xyz = points[:, :3]
         intensity = points[:, 3]
         d = jnp.maximum(jnp.linalg.norm(xyz, axis=-1), 1e-6)
         n = points.shape[0]
-        kmax = self.max_droplets
+        k1 = self.max_droplets       # nearest-droplet slots
+        k2 = self.tail_droplets      # largest-diameter residual slots
+        tan_h = jnp.tan(bdiv / 2.0)
 
         # min detectable power: 90%-reflective target at r_max (LISA's Pmin)
         p_min = 0.9 / self.r_max**2
 
-        kc, kr, kd, kj = jax.random.split(key, 4)
-        # droplet count in the beam cone of length d: V = π/3·(d·tan)²·d
-        vol = (math.pi / 3.0) * (jnp.tan(bdiv / 2.0) * d) ** 2 * d
-        lam_pois = density * vol
-        count = jax.random.poisson(kc, lam_pois, shape=(n,))
-        count = jnp.minimum(count, kmax)
+        kc, kt, kp, kd, kj = jax.random.split(key, 5)
+        # droplet population in the beam cone of length d: Poisson with mean
+        # λ = density · V,  V = π/3·(d·tanθ)²·d
+        vol = (math.pi / 3.0) * (tan_h * d) ** 2 * d
+        lam = density * vol
 
-        slot = jnp.arange(kmax)[None, :]
-        live = slot < count[:, None]
+        # --- the k1 NEAREST droplets, exactly (radial order statistics) ---
+        # U = (r/d)³ is uniform in cone volume, so droplet positions are a
+        # unit-rate Poisson process in u·λ: the i-th nearest sits at
+        # Uᵢ = Gᵢ/λ (Gᵢ = cumsum of Exp(1)) and exists iff Gᵢ < λ. This is
+        # an exact sample of the near population — NOT a clamped subsample.
+        g = jnp.cumsum(jax.random.exponential(kc, (n, k1)), axis=1)
+        t1 = g / jnp.maximum(lam[:, None], 1e-30)
+        live1 = t1 < 1.0
+        r1 = jnp.maximum(
+            d[:, None] * jnp.minimum(t1, 1.0) ** (1.0 / 3.0), self.r_min
+        )
+        q1 = jax.random.uniform(kd, (n, k1))
+        dmm1 = jnp.interp(q1, cdf, d_grid)      # diameters ~ DSD, iid
 
-        # positions: r ∝ d·U^{1/3} (uniform in cone volume), clipped ≥ r_min
-        u = jax.random.uniform(kr, (n, kmax))
-        r_drop = jnp.maximum(d[:, None] * u ** (1.0 / 3.0), self.r_min)
-        # diameters by inverse-CDF lookup
-        q = jax.random.uniform(kd, (n, kmax))
-        d_mm = jnp.interp(q, cdf, d_grid)
+        # --- the k2 LARGEST-DIAMETER droplets of the residual population
+        # (r beyond the k1-th nearest): diameter order statistics via the
+        # DSD inverse CDF at quantile 1 − Hⱼ/λ_res; positions iid uniform in
+        # the residual cone shell (position ⊥ diameter).
+        t_last = jnp.minimum(t1[:, -1], 1.0)
+        lam_res = lam * (1.0 - t_last)          # E[#droplets beyond slot k1]
+        h = jnp.cumsum(jax.random.exponential(kt, (n, k2)), axis=1)
+        u2 = h / jnp.maximum(lam_res[:, None], 1e-30)
+        live2 = live1[:, -1:] & (u2 < 1.0)
+        dmm2 = jnp.interp(
+            jnp.clip(1.0 - u2, 0.0, 1.0), cdf, d_grid
+        )
+        v2 = jax.random.uniform(kp, (n, k2))
+        t2 = t_last[:, None] + (1.0 - t_last[:, None]) * v2
+        r2 = jnp.maximum(d[:, None] * t2 ** (1.0 / 3.0), self.r_min)
+
+        r_drop = jnp.concatenate([r1, r2], axis=1)        # (n, k1+k2)
+        d_mm = jnp.concatenate([dmm1, dmm2], axis=1)
+        live = jnp.concatenate([live1, live2], axis=1)
         qback = jnp.interp(d_mm, d_grid, qback_grid)
 
         # droplet return: backscatter efficiency × beam-occlusion fraction,
         # two-way attenuated; occlusion = (D / beam width at r)² capped at 1
-        beam_w = 2.0 * r_drop * jnp.tan(bdiv / 2.0) * 1e3  # mm
+        beam_w = 2.0 * r_drop * tan_h * 1e3  # mm
         occl = jnp.clip((d_mm / jnp.maximum(beam_w, 1e-9)) ** 2, 0.0, 1.0)
         p_drop = (
             qback * occl * jnp.exp(-2.0 * alpha * r_drop) / r_drop**2
@@ -221,6 +288,28 @@ class LISA:
         best = jnp.argmax(p_drop, axis=1)
         p_best = jnp.take_along_axis(p_drop, best[:, None], axis=1)[:, 0]
         r_best = jnp.take_along_axis(r_drop, best[:, None], axis=1)[:, 0]
+
+        # --- residual power bound: every NON-sampled droplet has both
+        # r > r_k1 (beyond the nearest set) and D < min(tail diameters), so
+        # p ≤ min(Qmax(Dm), Qd2max(Dm)/w(rk)²)·exp(-2α·rk)/rk², which is
+        # decreasing in r. If that bound can beat the current winner AND
+        # clear the detection floor, the fixed capacity may have changed the
+        # outcome — counted, never silent (host wrapper grows + reruns).
+        rk = r1[:, -1]
+        dm_tail = dmm2[:, -1]
+        q_cap = jnp.interp(dm_tail, d_grid, qmax_grid)
+        qd2_cap = jnp.interp(dm_tail, d_grid, qd2max_grid)
+        w_rk = 2.0 * rk * tan_h * 1e3
+        p_bound = (
+            jnp.minimum(q_cap, qd2_cap / jnp.maximum(w_rk, 1e-9) ** 2)
+            * jnp.exp(-2.0 * alpha * rk) / rk**2
+        )
+        residual_nonempty = live1[:, -1] & (u2[:, -1] < 1.0)
+        overflow = (
+            residual_nonempty
+            & (p_bound > jnp.maximum(p_best, p_hard))
+            & (p_bound >= p_min)
+        )
 
         droplet_wins = p_best > p_hard
         p_ret = jnp.where(droplet_wins, p_best, p_hard)
@@ -255,6 +344,7 @@ class LISA:
             num_lost=jnp.sum(mask & lost).astype(jnp.int32),
             num_scattered=jnp.sum(keep & droplet_wins).astype(jnp.int32),
             num_attenuated=jnp.sum(keep & ~droplet_wins).astype(jnp.int32),
+            droplet_overflow=jnp.sum(mask & overflow).astype(jnp.int32),
         )
 
     def augment(self, pc: np.ndarray, Rr: float = 10.0,
@@ -286,6 +376,7 @@ class LISA:
             "num_lost": int(res.num_lost),
             "num_scattered": int(res.num_scattered),
             "num_attenuated": int(res.num_attenuated),
+            "droplet_overflow": int(res.droplet_overflow),
         }
         return kept, stats
 
@@ -304,20 +395,41 @@ class LISA:
 
         alpha = self.alpha(Rr)
         density = self.droplet_density(Rr)
-        cdf, d_grid, qback_grid = self._dsd_inverse_cdf(Rr)
+        grids = self._dsd_inverse_cdf(Rr)
         key = jax.random.PRNGKey(
             seed if fixed_seed else np.random.randint(2**31)
         )
-        res = jax.device_get(
-            self._jit_augment(
-                jnp.asarray(padded.points),
-                jnp.asarray(padded.mask),
-                key,
-                jnp.float32(alpha),
-                jnp.float32(density),
-                cdf,
-                d_grid,
-                qback_grid,
+        # self-tuning capacity (the repo-wide no-silent-truncation contract):
+        # if the residual-droplet power bound says a non-sampled droplet
+        # could have changed any point's outcome, double the candidate sets
+        # and rerun (a recompile)
+        for _attempt in range(6):
+            res = jax.device_get(
+                self._jit_augment(
+                    jnp.asarray(padded.points),
+                    jnp.asarray(padded.mask),
+                    key,
+                    jnp.float32(alpha),
+                    jnp.float32(density),
+                    *grids,
+                )
             )
-        )
+            if int(res.droplet_overflow) == 0:
+                break
+            import logging
+
+            self.max_droplets *= 2
+            self.tail_droplets *= 2
+            self._jit_augment = jax.jit(self._augment_core)
+            logging.getLogger(__name__).warning(
+                "LISA droplet capacity grew to (%d nearest, %d tail) after "
+                "%d overflowing points",
+                self.max_droplets, self.tail_droplets,
+                int(res.droplet_overflow),
+            )
+        else:
+            raise RuntimeError(
+                f"LISA droplet overflow persisted: {int(res.droplet_overflow)}"
+                f" points at max_droplets={self.max_droplets}"
+            )
         return res, scale_back

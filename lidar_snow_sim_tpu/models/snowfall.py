@@ -45,6 +45,30 @@ from lidar_snow_sim_tpu.sampling.banks import LUT_BINS, LUT_HI, LUT_LO
 _INF = jnp.float32(jnp.inf)
 
 
+def dense_slot_count(cfg, num_lasers: int, pallas: bool = True) -> int:
+    """Slot count n2 of the dense assembly: num_lasers * channel_capacity,
+    plus one extra blk-aligned window per channel on the pallas path
+    (snowfall_augment_dense's `bpc1` alignment spill)."""
+    blocks = cfg.channel_capacity // cfg.block_points + (1 if pallas else 0)
+    return num_lasers * blocks * cfg.block_points
+
+
+def _cap_from_slots(n2: int, pulse_chunk: int) -> int:
+    """A quarter of the slots, rounded UP to a pulse_chunk multiple."""
+    return -(-max(n2 // 4, pulse_chunk) // pulse_chunk) * pulse_chunk
+
+
+def default_compact_capacity(cfg, num_lasers: int, pallas: bool = True) -> int:
+    """Default compact capacity of the dense assembly.
+
+    Shared by snowfall_augment_dense, the capacity healers
+    (SnowfallAugmenter, datagen) and bench's roofline model so a
+    healed/doubled value reproduces the actual default and stays
+    pulse_chunk-divisible (doubling a multiple keeps it one)."""
+    return _cap_from_slots(dense_slot_count(cfg, num_lasers, pallas),
+                           cfg.pulse_chunk)
+
+
 class SnowfallResult(NamedTuple):
     points: jax.Array          # (N, 5) augmented x, y, z, intensity, label
     keep: jax.Array            # (N,) bool: survives noise floor / scattering
@@ -691,10 +715,7 @@ def snowfall_augment_dense(
     # default capacity: a quarter of the slots, rounded UP to a pulse_chunk
     # multiple (the pallas chunk count n2 includes one extra window per
     # channel, so n2 // 4 alone need not divide evenly)
-    cap = cfg.compact_capacity or (
-        -(-max(n2 // 4, cfg.pulse_chunk) // cfg.pulse_chunk)
-        * cfg.pulse_chunk
-    )
+    cap = cfg.compact_capacity or _cap_from_slots(n2, cfg.pulse_chunk)
     assert cap % cfg.pulse_chunk == 0, (
         "compact_capacity must be divisible by pulse_chunk"
     )
@@ -727,6 +748,12 @@ def snowfall_augment_dense(
         skey, rank_sorted = jax.lax.sort(
             (ckey, rank_flat), num_keys=1, is_stable=True
         )
+        if cap > n2:
+            # tiny configs can round cap above n2; pad with the dead-slot
+            # sentinel so the [:cap] slice (and the later (cap//pblk, pblk)
+            # reshape) stays full-length instead of silently shortening
+            skey = jnp.pad(skey, (0, cap - n2), constant_values=big_key)
+            rank_sorted = jnp.pad(rank_sorted, (0, cap - n2))
         skey = skey[:cap]
         rank_ci = rank_sorted[:cap]
         if count_bucketed:
@@ -734,7 +761,10 @@ def snowfall_augment_dense(
         else:
             cidx = skey
     else:
-        cidx = jax.lax.sort(jnp.where(any_occ, slot_iota, n2))[:cap]
+        cidx = jax.lax.sort(jnp.where(any_occ, slot_iota, n2))
+        if cap > n2:
+            cidx = jnp.pad(cidx, (0, cap - n2), constant_values=n2)
+        cidx = cidx[:cap]
     c_ok = cidx < n2
     ci = jnp.clip(cidx, 0, n2 - 1)
 
@@ -802,10 +832,16 @@ def snowfall_augment_dense(
         )
         # per-channel calib via one-hot matmul: four 64-entry LUT gathers at
         # cap scale were ~1 ms each; one (cap, 64) @ (64, 4) MXU matmul is
-        # effectively free
+        # effectively free. HIGHEST precision is REQUIRED: the TPU default
+        # bf16 multiplication would round focal_slope/focal_offset ~2^-9
+        # relative (most hdl64 values are not bf16-representable) before the
+        # decision tail, silently breaking dense==window bit-identity on
+        # device; a one-hot @ LUT product at HIGHEST is exact.
         oh = (c_ch[:, None] == jnp.arange(n_ch)[None, :]).astype(jnp.float32)
-        c_lut = oh @ jnp.stack(
-            [min_int_lut, fs_lut, fo_lut, max_int_lut], axis=1
+        c_lut = jnp.matmul(
+            oh,
+            jnp.stack([min_int_lut, fs_lut, fo_lut, max_int_lut], axis=1),
+            precision=jax.lax.Precision.HIGHEST,
         )                                                  # (cap, 4)
         c_min, c_fs, c_fo, c_max = (
             c_lut[:, 0], c_lut[:, 1], c_lut[:, 2], c_lut[:, 3]
@@ -990,9 +1026,8 @@ class SnowfallAugmenter:
         elif name == "channel_overflow":
             new = dict(channel_capacity=cfg.channel_capacity * 2)
         elif name == "compact_overflow":
-            cap = cfg.compact_capacity or max(
-                self.calib.num_lasers * cfg.channel_capacity // 4,
-                cfg.pulse_chunk,
+            cap = cfg.compact_capacity or default_compact_capacity(
+                cfg, self.calib.num_lasers
             )
             new = dict(compact_capacity=cap * 2)
         else:

@@ -99,9 +99,13 @@ def ransac_plane(
 
     # uniform sampling over crop points by inverse CDF: equivalent in
     # distribution to categorical over uniform logits, but O(N + T log N)
-    # instead of T*3 gumbel fields over all N points (profiled hot)
+    # instead of T*3 gumbel fields over all N points (profiled hot).
+    # c is integer-valued, so clamping u to c[-1] - 0.5 keeps searchsorted
+    # strictly inside the last crop point (uniform*c[-1] can round up to
+    # exactly c[-1], which would select index n -> a non-crop point); when
+    # the crop is empty (c[-1] == 0) the `good` gate below discards the fit.
     c = jnp.cumsum(crop.astype(jnp.float32))
-    u = jax.random.uniform(key, (trials, 3)) * c[-1]
+    u = jnp.minimum(jax.random.uniform(key, (trials, 3)) * c[-1], c[-1] - 0.5)
     idx = jnp.clip(
         jnp.searchsorted(c, u, side="right"), 0, c.shape[0] - 1
     )                                                             # (T, 3)

@@ -33,6 +33,9 @@ class DatagenStats:
     frames_failed: int = 0
     points_in: int = 0
     points_out: int = 0
+    points_dropped: int = 0   # residual input points dropped (always 0 now
+    # that max_points auto-grows; kept as the honest counter)
+    capacity_growths: int = 0  # recompiles triggered by capacity growth
     attenuated: int = 0
     removed: int = 0
     wall_s: float = 0.0
@@ -60,8 +63,10 @@ def run_snowfall_datagen(
 
     load_fn maps a sample id to an (N, 5) float32 scan (typically
     utils.load_velodyne_bin of the STF lidar folder). Existing outputs are
-    skipped (resume semantics, precompute.py:91-92). Oversized scans are
-    FOV/row-truncated to capacity with a warning (tracked in stats).
+    skipped (resume semantics, precompute.py:91-92). Oversized scans GROW
+    max_points (rounded up to a point_chunk multiple) and recompile — the
+    reference never drops points (precompute.py:96-106) and neither does
+    this driver; any residual drop would be counted in stats.points_dropped.
 
     With a `mesh` (parallel.mesh.make_mesh), the batch is sharded
     frames-over-'data' and points-over-'beam' via the GSPMD step
@@ -140,9 +145,12 @@ def run_snowfall_datagen(
             elif name == "channel_overflow":
                 new["channel_capacity"] = cfg.channel_capacity * 2
             elif name == "compact_overflow":
-                cap = cfg.compact_capacity or max(
-                    calib.num_lasers * cfg.channel_capacity // 4,
-                    cfg.pulse_chunk,
+                from lidar_snow_sim_tpu.models.snowfall import (
+                    default_compact_capacity,
+                )
+
+                cap = cfg.compact_capacity or default_compact_capacity(
+                    cfg, calib.num_lasers
                 )
                 new["compact_capacity"] = cap * 2
             else:
@@ -158,10 +166,10 @@ def run_snowfall_datagen(
         todo.append((sid, out_path))
 
     def _load_batch(chunk):
-        """Load + FOV-filter + pad one batch (runs on the IO thread so the
-        next batch's disk reads overlap the device step)."""
-        pts_list, mask_list, ids = [], [], []
-        n_failed = 0
+        """Load + FOV-filter one batch (runs on the IO thread so the next
+        batch's disk reads overlap the device step). Padding happens in the
+        main loop because an oversized scan can grow max_points."""
+        raw, n_failed = [], 0
         for sid, out_path in chunk:
             try:
                 pc = load_fn(sid)
@@ -171,17 +179,8 @@ def run_snowfall_datagen(
                 continue
             if fov_filter is not None:
                 pc = pc[fov_filter(pc[:, :3])]
-            if len(pc) > snow_cfg.max_points:
-                logger.warning(
-                    "%s: %d points > capacity %d, truncating",
-                    sid, len(pc), snow_cfg.max_points,
-                )
-                pc = pc[: snow_cfg.max_points]
-            padded = pad_cloud(pc, snow_cfg.max_points)
-            pts_list.append(padded.points)
-            mask_list.append(padded.mask)
-            ids.append((sid, out_path, len(pc)))
-        return pts_list, mask_list, ids, n_failed
+            raw.append((sid, out_path, pc))
+        return raw, n_failed
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -190,12 +189,31 @@ def run_snowfall_datagen(
     next_fut = io_pool.submit(_load_batch, batches[0]) if batches else None
 
     for bi in range(len(batches)):
-        pts_list, mask_list, ids, n_failed = next_fut.result()
+        raw, n_failed = next_fut.result()
         stats.frames_failed += n_failed
         if bi + 1 < len(batches):  # prefetch next while the device computes
             next_fut = io_pool.submit(_load_batch, batches[bi + 1])
-        if not pts_list:
+        if not raw:
             continue
+        # scan capacity auto-grows like every other capacity: the reference
+        # never drops points (precompute.py:96-106), so neither do we
+        need = max(len(pc) for _, _, pc in raw)
+        if need > snow_cfg.max_points:
+            chunk_sz = snow_cfg.point_chunk
+            new_cap = -(-need // chunk_sz) * chunk_sz
+            logger.warning(
+                "datagen max_points grew %d -> %d (scan with %d points)",
+                snow_cfg.max_points, new_cap, need,
+            )
+            snow_cfg = dataclasses.replace(snow_cfg, max_points=new_cap)
+            step = build_step(snow_cfg)
+            stats.capacity_growths += 1
+        pts_list, mask_list, ids = [], [], []
+        for sid, out_path, pc in raw:
+            padded = pad_cloud(pc, snow_cfg.max_points)
+            pts_list.append(padded.points)
+            mask_list.append(padded.mask)
+            ids.append((sid, out_path, len(pc)))
         # pad the batch to full width so one compiled step serves every batch
         while len(pts_list) < batch:
             pts_list.append(pts_list[-1])

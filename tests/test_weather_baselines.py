@@ -292,6 +292,78 @@ def test_lisa_heavier_rain_more_perturbation(cloud):
     )
 
 
+def test_lisa_rate_sensitivity_strictly_increasing(cloud):
+    """num_scattered must be STRICTLY increasing in Rr over 1..30 mm/h at a
+    fixed seed (VERDICT r2 weak #1: the old clamped strongest-of-32 sample
+    went rate-insensitive exactly where the model should discriminate)."""
+    l = LISA(dsd_points=64)
+    scattered = []
+    for rr in (1.0, 3.0, 10.0, 30.0):
+        _, stats = l.augment_compact(cloud, rr, fixed_seed=True)
+        assert stats["droplet_overflow"] == 0
+        scattered.append(stats["num_scattered"])
+    assert scattered == sorted(scattered)
+    assert len(set(scattered)) == len(scattered), scattered
+
+
+def test_lisa_droplet_capacity_never_silently_clamped(cloud):
+    """An undersized candidate set must be DETECTED by the residual power
+    bound and auto-grown, not silently truncated (repo invariant)."""
+    l = LISA(dsd_points=64, max_droplets=4, tail_droplets=2)
+    _, stats = l.augment_compact(cloud, 30.0, fixed_seed=True)
+    assert stats["droplet_overflow"] == 0       # post-heal result is clean
+    assert l.max_droplets > 4                   # the clamp was caught
+    # the healed result must agree with a generously-sized run on where the
+    # capacity-independent outcomes land (same seed, same physics)
+    big = LISA(dsd_points=64, max_droplets=l.max_droplets,
+               tail_droplets=l.tail_droplets)
+    kept_b, stats_b = big.augment_compact(cloud, 30.0, fixed_seed=True)
+    assert stats_b == stats
+
+
+def test_lisa_nearest_droplet_order_statistics():
+    """The sampled nearest-droplet ranges must follow the exact Poisson
+    order-statistic law: U=(r/d)^3 of the nearest droplet ~ Exp(lam)
+    truncated to [0,1] (mean 1/lam for lam >> 1)."""
+    import jax
+
+    l = LISA(dsd_points=64)
+    n = 4000
+    d = 60.0
+    pc = np.column_stack(
+        [np.full(n, d), np.zeros(n), np.zeros(n), np.full(n, 100.0),
+         np.zeros(n)]
+    ).astype(np.float32)
+    vol = (np.pi / 3.0) * (np.tan(l.beam_divergence / 2) * d) ** 2 * d
+    lam = l.droplet_density(10.0) * vol
+    assert lam > 5.0  # regime where the old clamp was always binding
+    aug = l.augment(pc, 10.0, fixed_seed=True)
+    scat = aug[aug[:, 4] == 2]
+    # scattered ranges concentrate close to the sensor: the nearest-droplet
+    # radial law gives E[r_1/d] ~ Gamma(4/3)/lam^(1/3)
+    r_scat = np.linalg.norm(scat[:, :3], axis=1)
+    import math
+
+    expected = d * math.gamma(4 / 3) / lam ** (1 / 3)
+    assert np.median(r_scat) < 2.5 * max(expected, l.r_min)
+
+
+def test_lisa_fog_presets_match_shettle_fenn():
+    """Fog DSD presets must reproduce the published Shettle & Fenn 1979
+    totals: strong advection fog 20 cm^-3 (modal radius 10 um), moderate
+    radiation fog 200 cm^-3 (modal radius 2 um)."""
+    for preset, total_m3, modal_rad_um in (
+        ("strong_advection", 20e6, 10.0),
+        ("moderate_radiation", 200e6, 2.0),
+    ):
+        l = LISA(mode="fog", fog_preset=preset, dsd_points=256)
+        np.testing.assert_allclose(
+            l.droplet_density(1.0), total_m3, rtol=0.05
+        )
+        d_mode = l.D[np.argmax(l.Nd(l.D, 1.0))]
+        np.testing.assert_allclose(500 * d_mode, modal_rad_um, rtol=0.1)
+
+
 def test_lisa_dsd_constants_match_reference_sampling():
     """LISA's snow DSD rate parameters must equal the reference's
     sampling.py:72-87 fits (25.5 / 22.9 cm^-1 = 2.55 / 2.29 mm^-1), tying
