@@ -33,6 +33,11 @@ SWEEP = [int(b) for b in os.environ["BENCH_SWEEP"].split(",")] if (
 # BENCH_WET=1: chain wet-ground reflectance after snowfall on device (the
 # viewer's snow+wet mode / datagen --wet) and benchmark the combined step.
 WET = os.environ.get("BENCH_WET", "0") == "1"
+# BENCH_WEATHER=1 (default): also slope-time the weather-baseline models
+# (LISA, fog, STF fog, DROR — the viewer's other augmentation toggles,
+# pointcloud_viewer.py:2784-2975) and report scans/s per model in the
+# stderr detail. 0 skips (saves ~8 tunnel compiles).
+WEATHER = os.environ.get("BENCH_WEATHER", "1") == "1"
 
 # v5e single-chip peaks for the roofline readout (public spec: 197 bf16
 # TFLOP/s MXU, 819 GB/s HBM; VPU f32 vector throughput is ~4 TFLOP/s — the
@@ -154,6 +159,8 @@ def main():
         pulse_block=int(os.environ.get("BENCH_PBLOCK", "512")),
         pallas_pair=os.environ.get("BENCH_PAIR", "0") == "1",
         pulse_pair=os.environ.get("BENCH_PPAIR", "0") == "1",
+        band_width=int(os.environ.get("BENCH_BAND", "256")),
+        band_group=int(os.environ.get("BENCH_BGROUP", "8")),
         chunk_group=8,
     )
     bank = jax.device_put(
@@ -274,6 +281,104 @@ def main():
             xla_cost=xla_cost,
         )
 
+    def measure_weather(batch=8, iters=None):
+        """Slope-timed scans/s for the weather-baseline device kernels, same
+        chained-lax.scan methodology as measure() (the only trustworthy
+        timing over the remote tunnel)."""
+        import math as _m
+
+        iters = iters or max(n_iters // 2, 4)
+        pts0 = jnp.asarray(padded.points)
+        msk0 = jnp.asarray(padded.mask)
+
+        def slope(step, carry0):
+            def chain(c0, ks):
+                def body(c, k):
+                    out = step(c, k)
+                    return c + out * 0.0, out
+                _, outs = jax.lax.scan(body, c0, ks)
+                return outs
+
+            chain_j = jax.jit(chain)
+
+            def run(n):
+                ks = jnp.stack(
+                    [jax.random.split(jax.random.PRNGKey(50 + i), batch)
+                     for i in range(n)]
+                )
+                t0 = time.time()
+                np.asarray(chain_j(carry0, ks))  # value fetch = completion
+                return time.time() - t0
+
+            short, long_ = 2, 2 + iters
+            run(short)
+            run(long_)
+            dt = (run(long_) - run(short)) / (long_ - short)
+            return dict(
+                scans_per_sec=round(batch / dt, 1),
+                ms_per_scan=round(dt / batch * 1e3, 3),
+            )
+
+        carry_b = jnp.broadcast_to(pts0, (batch,) + pts0.shape)
+        out = {}
+
+        from lidar_snow_sim_tpu.models.lisa import LISA
+
+        l = LISA()
+        grids = l._dsd_inverse_cdf(10.0)
+        l_alpha = jnp.float32(l.alpha(10.0))
+        l_dens = jnp.float32(l.droplet_density(10.0))
+        lisa_carry = carry_b.at[..., 3].divide(255.0)
+
+        def lisa_step(c, k):
+            res = jax.vmap(
+                lambda p, kk: l._augment_core(
+                    p, msk0, kk, l_alpha, l_dens, *grids
+                )
+            )(c, k)
+            return jnp.sum(res.num_scattered).astype(jnp.float32)
+
+        out["lisa_rain10mmh"] = slope(lisa_step, lisa_carry)
+
+        from lidar_snow_sim_tpu.models.fog import FogParameterSet, fog_augment
+
+        fp = FogParameterSet(alpha=0.06)
+
+        def fog_step(c, k):
+            res = jax.vmap(lambda p, kk: fog_augment(fp, p, msk0, kk))(c, k)
+            return jnp.sum(res.num_scattered).astype(jnp.float32)
+
+        out["fog_alpha0.06"] = slope(fog_step, carry_b)
+
+        from lidar_snow_sim_tpu.models.stf_fog import (
+            BetaRadomization,
+            haze_point_cloud_padded,
+        )
+
+        coeffs = BetaRadomization(beta=0.046, seed=0).coefficients()
+
+        def stf_step(c, k):
+            res = jax.vmap(
+                lambda p, kk: haze_point_cloud_padded(p, msk0, coeffs, kk)
+            )(c, k)
+            return jnp.sum(res.num_scattered).astype(jnp.float32)
+
+        out["stf_fog_beta0.046"] = slope(stf_step, carry_b)
+
+        from lidar_snow_sim_tpu.models.dror import _dror_kernel
+
+        def dror_step(c, k):
+            keep = jax.vmap(
+                lambda p: _dror_kernel(
+                    p[:, :3], msk0, jnp.float32(_m.radians(0.45)),
+                    jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04), 1024,
+                )
+            )(c)
+            return jnp.sum(keep).astype(jnp.float32)
+
+        out["dror"] = slope(dror_step, carry_b)
+        return out
+
     sweep_rows = []
     if SWEEP:
         for b in SWEEP:
@@ -306,6 +411,13 @@ def main():
         )
     else:
         best = measure(BATCH)
+
+    weather = {}
+    if WEATHER:
+        try:
+            weather = measure_weather()
+        except Exception as e:  # noqa: BLE001 — weather detail is best-effort
+            weather = {"error": str(e)[:400]}
 
     scans_per_sec = best["scans_per_sec"]
     points_per_sec = scans_per_sec * len(pc)
@@ -399,6 +511,7 @@ def main():
                             best["step_ms"] / best["batch"], 2
                         ),
                     },
+                    "weather_models": weather or None,
                     "sweep": [
                         {k: (round(v, 3) if isinstance(v, float) else v)
                          for k, v in r.items() if k != "xla_cost"}

@@ -98,6 +98,17 @@ class SnowfallConfig:
     # interpreter (CPU testing only).
     use_pallas: bool = True
     pallas_interpret: bool = False
+    # BANDED phase A: points and bank are both azimuth-sorted, so each
+    # band_group consecutive beams only ever intersect a narrow contiguous
+    # band of the chunk's slice. With band_width > 0 each group gets its own
+    # band_width-wide aligned bank band (own DMA + LUT slice bound) and the
+    # intersection + masked-argmin extraction runs on
+    # (blk/band_group, band_group, band_width + wide) arrays — ~4x fewer
+    # vector cells per trip than the shared full-width slice. band_width = 0
+    # falls back to the full-slice kernel. Coverage stays overflow-checked
+    # per group.
+    band_width: int = 256
+    band_group: int = 8
     # interleave two chunks per phase-A grid step (independent extraction
     # chains double the ILP of the latency-bound masked-argmin loop);
     # requires an even chunk count, else falls back to single-chunk

@@ -490,10 +490,17 @@ def snowfall_augment_dense(
     # only widen coverage. Falls back to XLA when the bank row is too short
     # for the aligned slice.
     w_pallas = w_sl + 128
+    # banded phase A (see config.band_width): per-group bands need only
+    # k_ext >= band_width, a much weaker condition than the full slice
+    band = cfg.band_width if (
+        cfg.band_width > 0 and blk % cfg.band_group == 0
+        and k_ext >= cfg.band_width
+    ) else 0
+    need_w = band if band else w_pallas
     use_pallas = (
         cfg.use_pallas
         and (cfg.pallas_interpret or jax.default_backend() == "tpu")
-        and k_ext >= w_pallas
+        and k_ext >= need_w
     )
     if use_pallas:
         from lidar_snow_sim_tpu.ops.pallas_occluders import (
@@ -558,11 +565,25 @@ def snowfall_augment_dense(
 
         # azimuth ASCENDS within a channel (the sort key is ch*8 + az), so a
         # window's az bounds are its first/last in-channel elements — two
-        # n_chunks-sized x/y gathers + exact atan2 recompute (same f32 ops
-        # as the sort key's az, so ordering is consistent)
-        a_lo = jnp.maximum(w0, start_c)
-        a_hi = jnp.minimum(w0 + blk, end_c)
-        has = alive & (a_lo < a_hi)
+        # gathers + exact atan2 recompute (same f32 ops as the sort key's
+        # az, so ordering is consistent). With banding the bounds are
+        # per-GROUP (n_chunks, G): each band_group of 8 consecutive points
+        # gets its own narrow band slice.
+        if band:
+            gsz = cfg.band_group
+            g_dim = blk // gsz
+            lo_row = w0[:, None] + (
+                jnp.arange(g_dim, dtype=jnp.int32) * gsz
+            )[None, :]                                     # (n_chunks, G)
+            a_lo = jnp.maximum(lo_row, start_c[:, None])
+            a_hi = jnp.minimum(lo_row + gsz, end_c[:, None])
+            has = alive[:, None] & (a_lo < a_hi)
+            rows_b = row_of_chunk[:, None]
+        else:
+            a_lo = jnp.maximum(w0, start_c)
+            a_hi = jnp.minimum(w0 + blk, end_c)
+            has = alive & (a_lo < a_hi)
+            rows_b = row_of_chunk
         ia = jnp.clip(a_lo, 0, n_pad - 1)
         ib = jnp.clip(a_hi - 1, 0, n_pad - 1)
         min_az = jnp.where(
@@ -584,12 +605,22 @@ def snowfall_augment_dense(
         b_hi = jnp.clip(
             jnp.floor((max_az + delta - LUT_LO) * inv_w) + 2, 0, LUT_BINS
         ).astype(jnp.int32)
-        lo_raw = bank.lut[row_of_chunk, b_lo]
-        hi_req = bank.lut[row_of_chunk, b_hi]
+        lo_raw = bank.lut[rows_b, b_lo]
+        hi_req = bank.lut[rows_b, b_hi]
 
-        lo = jnp.clip(lo_raw, 0, k_ext - w_pallas)
+        w_eff = band if band else w_pallas
+        lo = jnp.clip(lo_raw, 0, k_ext - w_eff)
         lo = (lo // 128) * 128
-        cover_overflow = jnp.sum(jnp.maximum(hi_req - (lo + w_pallas), 0))
+        # a slice/band at least count wide covers one full wrap period =
+        # every particle (duplicate copies carry identical x/y properties),
+        # so only rows with count > w_eff can genuinely under-cover
+        uncovered = bank.count[rows_b] > w_eff
+        cover_overflow = jnp.sum(
+            jnp.where(
+                has & uncovered,
+                jnp.maximum(hi_req - (lo + w_eff), 0), 0,
+            )
+        )
         feats_b = point_features(
             sx, sy, sz, cfg.beam_divergence_rad
         ).reshape(n_pad // blk, blk, -1)
@@ -597,11 +628,12 @@ def snowfall_augment_dense(
             blk=blk, w_sl=w_pallas, wide_cap=bank.wide_t.shape[2],
             k_occ=cfg.max_occluders, beam_rad=cfg.beam_divergence_rad,
             interpret=cfg.pallas_interpret,
-            pair=cfg.pallas_pair and n_chunks % 2 == 0,
+            pair=cfg.pallas_pair and n_chunks % 2 == 0 and not band,
+            band=band, band_group=cfg.band_group,
         )
         occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
             feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
-            lo.astype(jnp.int32), bank.count.astype(jnp.int32),
+            lo.reshape(-1).astype(jnp.int32), bank.count.astype(jnp.int32),
             bank.data_t, bank.wide_t,
         )                                          # (n_chunks, K, blk) each
         occ_valid = occ_valid & valid_blk[:, None, :]
@@ -1011,9 +1043,17 @@ class SnowfallAugmenter:
         cfg = self.cfg
         k_ext = int(self.bank.angle.shape[1])
         if name == "window_overflow":
-            if cfg.assembly != "dense" or cfg.slice_width >= k_ext:
+            if cfg.assembly != "dense":
                 return False
-            new = dict(slice_width=min(cfg.slice_width * 2, k_ext))
+            new = {}
+            if cfg.band_width:
+                nb = min(cfg.band_width * 2, (k_ext // 128) * 128)
+                if nb > cfg.band_width:
+                    new["band_width"] = nb
+            if cfg.slice_width < k_ext:
+                new["slice_width"] = min(cfg.slice_width * 2, k_ext)
+            if not new:
+                return False
         elif name == "occluder_overflow":
             new = dict(
                 max_occluders=cfg.max_occluders * 2,

@@ -204,6 +204,156 @@ def _kernel(
     jax.lax.fori_loop(0, block_k, body, score)
 
 
+def _prep_banded(feat, cand, n_row, *, w_band: int, k_occ: int):
+    """Banded intersection test + interval computation.
+
+    feat: (blk, N_FEAT) point features, row p = group p // group's point.
+    cand: (G, 1, C) per-property candidate rows (group g's band followed by
+    the shared wide list). Semantics identical to _prep_side; only the
+    shapes differ — each group's 8 points test their own narrow band.
+    Returns (score, a1b, a2b, ovf (G, group), block_k) with (G, group, C)
+    score/interval arrays.
+    """
+    g_dim, _, c = cand[0].shape
+    blk = feat.shape[0]
+    group = blk // g_dim
+
+    def fcol(j):
+        return feat[:, j : j + 1].reshape(g_dim, group, 1)
+
+    d_orig, right, left = fcol(0), fcol(1), fcol(2)
+    sin_r, cos_r, sin_l, cos_l = fcol(3), fcol(4), fcol(5), fcol(6)
+    wrapped_beam = fcol(7) > 0.5
+
+    px, py, pr, pdist, pang, halfw = cand
+
+    center_in = (right <= pang) & (pang <= left)
+    center_in |= wrapped_beam & (right - TWO_PI <= pang) & (pang <= left)
+    center_in |= wrapped_beam & (right <= pang) & (pang <= left + TWO_PI)
+
+    dist_r = jnp.abs(px * sin_r - py * cos_r)
+    dist_l = jnp.abs(px * sin_l - py * cos_l)
+    right_hit = (dist_r < pr) & (cos_r * px + sin_r * py > 0)
+    left_hit = (dist_l < pr) & (cos_l * px + sin_l * py > 0)
+
+    hit = (center_in | right_hit | left_hit) & (pdist < d_orig)
+
+    # wrap-pad dedup (banks.py layout): entries repeat with period
+    # count[row]; keeping band-local offset < count keeps exactly one
+    # period starting at the band's lo (translation-invariant — the band
+    # start drops out). Wide columns (offset >= w_band) never duplicate.
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (g_dim, group, c), 2)
+    hit = hit & ((col3 >= w_band) | (col3 < n_row))
+
+    a1_raw = pang - halfw
+    a1_raw = jnp.where(a1_raw < 0, a1_raw + TWO_PI, a1_raw)
+    a2_raw = pang + halfw
+    a2_raw = jnp.where(a2_raw > TWO_PI, a2_raw - TWO_PI, a2_raw)
+    a1 = jnp.where(right_hit, jnp.broadcast_to(right, hit.shape), a1_raw)
+    a2 = jnp.where(left_hit, jnp.broadcast_to(left, hit.shape), a2_raw)
+
+    n_hit = jnp.sum(hit.astype(jnp.int32), axis=2)       # (G, group)
+    ovf = jnp.maximum(n_hit - k_occ, 0)
+
+    score = jnp.where(hit, jnp.broadcast_to(pdist, hit.shape), _BIG)
+    block_k = jnp.minimum(jnp.max(n_hit), k_occ)
+    return score, a1, a2, ovf, block_k, col3
+
+
+def _kernel_banded(
+    w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
+    rows_ref,      # (n_chunks,) i32, scalar-prefetch
+    glo_ref,       # (n_chunks * G,) i32, scalar-prefetch: per-GROUP band lo
+    counts_ref,    # (C_banks,) i32, scalar-prefetch
+    feat_ref,      # (1, blk, N_FEAT) VMEM block
+    bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
+    wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
+    a1_out,        # (1, K, blk)
+    a2_out,
+    dist_out,
+    valid_out,
+    ovf_out,       # (1, 1, blk) i32
+    band_scr,      # VMEM (G, N_PROP, w_band)
+    wide_scr,      # VMEM (N_PROP, Wc)
+    sems,          # DMA semaphores (G + 1,)
+    *,
+    blk: int,
+    w_band: int,
+    group: int,
+    wide_sl: int,
+    k_occ: int,
+):
+    """Banded phase A: each band_group consecutive (azimuth-sorted) points
+    share one narrow w_band-wide bank band instead of the whole chunk-wide
+    slice — same exact semantics, ~4x fewer vector cells per extraction
+    trip (the full-width kernel spends most of its VPU work testing
+    candidates that can only ever belong to other groups)."""
+    i = pl.program_id(0)
+    row = rows_ref[i]
+    g_dim = blk // group
+
+    wide_cp = pltpu.make_async_copy(wide_ref.at[row], wide_scr, sems.at[g_dim])
+    wide_cp.start()
+    cps = []
+    for g in range(g_dim):
+        lo = pl.multiple_of(glo_ref[i * g_dim + g], 128)
+        cp = pltpu.make_async_copy(
+            bank_ref.at[row, :, pl.ds(lo, w_band)],
+            band_scr.at[g],
+            sems.at[g],
+        )
+        cp.start()
+        cps.append(cp)
+    feat = feat_ref[0]                                    # (blk, N_FEAT)
+    wide_cp.wait()
+    for cp in cps:
+        cp.wait()
+
+    # per-property candidate rows: group band ++ shared wide list
+    cand = tuple(
+        jnp.concatenate(
+            [
+                band_scr[:, p, :],
+                jnp.broadcast_to(wide_scr[p : p + 1, :wide_sl],
+                                 (g_dim, wide_sl)),
+            ],
+            axis=1,
+        )[:, None, :]                                     # (G, 1, C)
+        for p in range(6)
+    )
+
+    score, a1b, a2b, ovf, block_k, col3 = _prep_banded(
+        feat, cand, counts_ref[row], w_band=w_band, k_occ=k_occ,
+    )
+    ovf_out[0] = ovf.reshape(1, blk)
+
+    a1_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+    a2_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+    dist_out[0] = jnp.full((k_occ, blk), _BIG, jnp.float32)
+    valid_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+
+    c = score.shape[2]
+
+    def body(k, score):
+        m = jnp.min(score, axis=2, keepdims=True)          # (G, group, 1)
+        eq = score == m
+        first = jnp.min(jnp.where(eq, col3, c), axis=2, keepdims=True)
+        onehot = col3 == first
+        a1_out[0, pl.ds(k, 1), :] = jnp.sum(
+            jnp.where(onehot, a1b, 0.0), axis=2
+        ).reshape(1, blk)
+        a2_out[0, pl.ds(k, 1), :] = jnp.sum(
+            jnp.where(onehot, a2b, 0.0), axis=2
+        ).reshape(1, blk)
+        dist_out[0, pl.ds(k, 1), :] = m[:, :, 0].reshape(1, blk)
+        valid_out[0, pl.ds(k, 1), :] = (
+            (m[:, :, 0] < _BIG).astype(jnp.float32).reshape(1, blk)
+        )
+        return jnp.where(onehot, _BIG, score)
+
+    jax.lax.fori_loop(0, block_k, body, score)
+
+
 def _kernel_pair(
     w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
@@ -286,6 +436,7 @@ def _kernel_pair(
 def make_pallas_occluder_phase(
     *, blk: int, w_sl: int, wide_cap: int, k_occ: int, beam_rad: float,
     interpret: bool = False, pair: bool = False,
+    band: int = 0, band_group: int = 8, wide_sl: int = 0,
 ):
     """Build the fused phase-A callable for fixed static shapes.
 
@@ -303,7 +454,70 @@ def make_pallas_occluder_phase(
     windows make the slot layout gather-free: the caller carries x/y/z/etc
     as sort payloads instead of gathering them into (C, pch) slots (the two
     slot gathers were 25% of the bench step).
+
+    With band > 0 the BANDED kernel runs: `los` must then be the per-GROUP
+    band starts, flattened (n_chunks * blk/band_group,), and w_sl is
+    ignored (each group DMAs its own band-wide slice).
     """
+    if band:
+        g_dim = blk // band_group
+        assert blk % band_group == 0
+        w_used = wide_sl or wide_cap
+        kernel = functools.partial(
+            _kernel_banded, blk=blk, w_band=band, group=band_group,
+            wide_sl=w_used, k_occ=k_occ,
+        )
+
+        def run_banded(feats_b, w0_blocks, rows, glo, counts,
+                       bank_data_t, bank_wide_t):
+            n_chunks = rows.shape[0]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(n_chunks,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, blk, N_FEAT), lambda i, w0b, *_: (w0b[i], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, k_occ, blk), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ] * 4 + [
+                    pl.BlockSpec(
+                        (1, 1, blk), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((g_dim, N_PROP, band), jnp.float32),
+                    pltpu.VMEM((N_PROP, bank_wide_t.shape[2]), jnp.float32),
+                    pltpu.SemaphoreType.DMA((g_dim + 1,)),
+                ],
+            )
+            a1, a2, dist, valid, ovf = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
+                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
+                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
+                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
+                    jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(w0_blocks, rows, glo, counts, feats_b, bank_data_t,
+              bank_wide_t)
+            return a1, a2, dist, valid > 0.5, ovf[:, 0, :]
+
+        return run_banded
     if pair:
         kernel = functools.partial(
             _kernel_pair, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,

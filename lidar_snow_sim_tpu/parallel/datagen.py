@@ -132,9 +132,17 @@ def run_snowfall_datagen(
             if not int(np.asarray(getattr(snow_res, name)).sum()):
                 continue
             if name == "window_overflow" and cfg.assembly == "dense":
-                if cfg.slice_width >= k_ext:
+                grew_any = False
+                if cfg.band_width:
+                    nb = min(cfg.band_width * 2, (k_ext // 128) * 128)
+                    if nb > cfg.band_width:
+                        new["band_width"] = nb
+                        grew_any = True
+                if cfg.slice_width < k_ext:
+                    new["slice_width"] = min(cfg.slice_width * 2, k_ext)
+                    grew_any = True
+                if not grew_any:
                     return None
-                new["slice_width"] = min(cfg.slice_width * 2, k_ext)
             elif name == "occluder_overflow":
                 new["max_occluders"] = cfg.max_occluders * 2
                 new["max_bumps"] = max(cfg.max_bumps, cfg.max_occluders * 2)

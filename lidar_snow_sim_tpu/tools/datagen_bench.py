@@ -1,0 +1,141 @@
+"""End-to-end offline-datagen wall-clock benchmark (VERDICT r2 item #6).
+
+Measures the FULL production path on the current backend — host scan IO,
+pad, jitted batched augmentation, host compaction, .bin writes, manifest —
+not just the device step: it validates whether the single IO-prefetch
+thread keeps up with the device at bench throughput.
+
+Flow: synthesize N scans to .bin once (cached), generate the heavy
+reference bank as {prefix}_{line}.npy files once (cached), then drive
+tools/precompute.py's exact machinery (run_snowfall_datagen via the CLI
+main) over one grid combo and report scans/s INCLUDING everything.
+
+Usage: python -m lidar_snow_sim_tpu.tools.datagen_bench [--frames 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--rate", type=float, default=2.5)
+    ap.add_argument("--velocity", type=float, default=1.6)
+    ap.add_argument("--mode", default="gunn")
+    ap.add_argument("--root", default="banks_cache/datagen_bench",
+                    help="work dir (scans + banks cached here; outputs "
+                         "cleared each run)")
+    ap.add_argument("--wet", action="store_true")
+    ap.add_argument("--out", default=None, help="write the JSON report here")
+    args = ap.parse_args(argv)
+
+    from lidar_snow_sim_tpu.calib import load_hdl64_calib
+    from lidar_snow_sim_tpu.sampling import (
+        compute_occupancy,
+        dart_throwing_fast,
+        snowfall_rate_to_rainfall_rate,
+    )
+    from lidar_snow_sim_tpu.tools.precompute import main as precompute_main
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    root = Path(args.root)
+    lidar_dir = root / "lidar_hdl64_strongest"
+    bank_dir = root / "snowflakes"
+    calib = load_hdl64_calib()
+
+    # --- one-time scene + bank materialization (cached across runs) ---
+    lidar_dir.mkdir(parents=True, exist_ok=True)
+    split_lines = []
+    t_scene = time.time()
+    n_points = []
+    for i in range(args.frames):
+        sid = f"2020-01-01_{i:05d}"
+        split_lines.append(sid.replace("_", ","))
+        p = lidar_dir / f"{sid}.bin"
+        if not p.exists():
+            pc = synthetic_scan(n_azimuth=870, seed=i, calib=calib)
+            pc.astype(np.float32).tofile(p)
+        n_points.append(p.stat().st_size // (5 * 4))
+    split = root / "split.txt"
+    split.write_text("\n".join(split_lines) + "\n")
+    t_scene = time.time() - t_scene
+
+    rr = snowfall_rate_to_rainfall_rate(args.rate, args.velocity)
+    occ = compute_occupancy(args.rate, args.velocity)
+    prefix = f"{args.mode}_{rr}_{occ}"
+    bank_dir.mkdir(parents=True, exist_ok=True)
+    t_banks = time.time()
+    if not (bank_dir / f"{prefix}_64.npy").exists():
+        rng = np.random.default_rng(42)
+        for line in range(1, 65):
+            np.save(
+                bank_dir / f"{prefix}_{line}.npy",
+                dart_throwing_fast(occ, rr, 80.0, rng, args.mode),
+            )
+    t_banks = time.time() - t_banks
+
+    # --- the measured run: the real CLI over a clean output tree ---
+    out_root = root / "out"
+    if out_root.exists():
+        shutil.rmtree(out_root)
+    argv_cli = [
+        "--split", str(split),
+        "--lidar-dir", str(lidar_dir),
+        "--bank-dir", str(bank_dir),
+        "--out-root", str(out_root),
+        "--modes", args.mode,
+        "--rates", str(args.rate),
+        "--velocities", str(args.velocity),
+        "--batch", str(args.batch),
+        "--no-fov-filter",  # synthetic scans are already forward-FOV
+    ] + (["--wet"] if args.wet else [])
+    t0 = time.time()
+    rc = precompute_main(argv_cli)
+    wall = time.time() - t0
+    assert rc == 0
+
+    out_dir = (
+        out_root / "snowfall_simulation" / args.mode
+        / f"{lidar_dir.name}_rainrate_{int(rr)}"
+    )
+    manifest = json.loads((out_dir / "_manifest.json").read_text())
+    frames_done = manifest["stats"]["frames_done"]
+    import jax
+
+    report = {
+        "metric": "datagen_end_to_end_scans_per_sec",
+        "value": round(frames_done / wall, 2),
+        "unit": "scans/s",
+        "frames": frames_done,
+        "wall_s": round(wall, 2),
+        "wall_s_excl_compile": None,  # see second_run below
+        "mean_points_per_scan": int(np.mean(n_points)),
+        "batch": args.batch,
+        "backend": jax.default_backend(),
+        "wet": args.wet,
+        "manifest_stats": manifest["stats"],
+        "scene_setup_s": round(t_scene, 1),
+        "bank_setup_s": round(t_banks, 1),
+    }
+    # resume pass: all frames skip -> measures the pure IO/walk floor
+    t0 = time.time()
+    precompute_main(argv_cli)
+    report["resume_walk_s"] = round(time.time() - t0, 2)
+    print(json.dumps(report))
+    if args.out:
+        Path(args.out).write_text(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,7 +37,15 @@ def main(argv=None):
     ap.add_argument("--velocity", type=float, default=2.0, help="terminal m/s")
     ap.add_argument("--mode", default="gunn", choices=("gunn", "sekhon"))
     ap.add_argument("--rain-rate", type=float, default=10.0, help="LISA mm/h")
-    ap.add_argument("--fog-alpha", type=float, default=0.02)
+    ap.add_argument("--fog-alpha", type=float, default=0.02,
+                    help="attenuation coefficient for --augment fog "
+                         "(the viewer's 'our fog' alpha slider, "
+                         "pointcloud_viewer.py:2939-2956)")
+    ap.add_argument("--beta", type=float, default=0.046,
+                    help="STF-fog scattering coefficient for --augment "
+                         "stf_fog (a PHYSICALLY DIFFERENT knob from "
+                         "--fog-alpha: the viewer drives BetaRadomization "
+                         "with its own beta, pointcloud_viewer.py:2958-2975)")
     ap.add_argument("--dror", action="store_true", help="apply DROR de-snowing")
     ap.add_argument("--fov", action="store_true", help="camera-FOV filter")
     ap.add_argument("--max-dist", type=float, default=None)
@@ -151,7 +159,7 @@ def main(argv=None):
     if aug == "stf_fog":
         from lidar_snow_sim_tpu.models.stf_fog import StfFogAugmenter
 
-        pc, stats = StfFogAugmenter(beta=args.fog_alpha, seed=args.seed)(pc)
+        pc, stats = StfFogAugmenter(beta=args.beta, seed=args.seed)(pc)
         report["stf_fog"] = stats
 
     if aug != "none":

@@ -51,11 +51,15 @@ def main(argv=None):
     calib = load_hdl64_calib()
     pc = synthetic_scan(n_azimuth=870, seed=0, calib=calib)
     sets = bench.get_bank_sets()
+    import os
+
     cfg = SnowfallConfig(
         max_points=1 << int(np.ceil(np.log2(len(pc)))), window_size=128,
         wide_capacity=16, max_occluders=24, max_bumps=16, point_chunk=2048,
         assembly="dense", use_pallas=True, channel_capacity=1024,
         block_points=128, slice_width=1152, chunk_group=8,
+        band_width=int(os.environ.get("BENCH_BAND", "256")),
+        band_group=int(os.environ.get("BENCH_BGROUP", "8")),
     )
     bank = jax.device_put(build_bank(
         sets, window_size=cfg.window_size,

@@ -97,9 +97,11 @@ def test_dense_channel_overflow_detected(setup):
     assert int(res.channel_overflow) > 0
 
 
-def test_pallas_phase_matches_window(setup):
+@pytest.mark.parametrize("band", [0, 256])
+def test_pallas_phase_matches_window(setup, band):
     """The fused Pallas phase-A kernel (interpret mode on CPU) must keep the
-    dense path bit-identical to the window path."""
+    dense path bit-identical to the window path — both the full-slice
+    (band=0) and the banded per-group variant."""
     base = dict(
         max_points=8192, window_size=256, wide_capacity=64,
         max_occluders=48, max_bumps=24, point_chunk=256,
@@ -110,7 +112,7 @@ def test_pallas_phase_matches_window(setup):
         SnowfallConfig(
             **base, assembly="dense", channel_capacity=128,
             block_points=32, slice_width=256, chunk_group=8,
-            use_pallas=True, pallas_interpret=True,
+            use_pallas=True, pallas_interpret=True, band_width=band,
         ),
     )
     assert int(rp.window_overflow) == 0
@@ -135,6 +137,7 @@ def test_pallas_pair_matches_window(setup):
             **base, assembly="dense", channel_capacity=128,
             block_points=32, slice_width=256, chunk_group=8,
             use_pallas=True, pallas_interpret=True, pallas_pair=True,
+            band_width=0,  # banding supersedes pairing; pin the pair kernel
         ),
     )
     assert int(rp.window_overflow) == 0

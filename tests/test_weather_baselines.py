@@ -80,6 +80,57 @@ def test_fog_attenuates_kept_points(cloud):
     assert float(kept[:, 3].max()) < float(cloud[:, 3].max())
 
 
+def test_fog_noise_variants_follow_documented_laws():
+    """The four range-noise variants' documented laws (PARITY.md /
+    models/fog.py): v1 uniform +-amp, v2 gaussian sigma=amp, v3/v4 the same
+    scaled by r_fog/MOR. With a constant-range ring the fog return range
+    r_fog is one constant, so the displacement law is directly observable;
+    with a shared seed v3/v4 must equal v1/v2 times exactly rel = r_fog/MOR.
+    """
+    from lidar_snow_sim_tpu.models.fog import (
+        FogParameterSet,
+        simulate_fog_pc,
+        soft_response_curve,
+    )
+
+    n = 4000
+    rng = np.random.default_rng(0)
+    ang = rng.uniform(-1.0, 1.0, n)
+    cloud = np.column_stack(
+        [60 * np.cos(ang), 60 * np.sin(ang), np.zeros(n),
+         np.full(n, 5.0), np.zeros(n)]
+    ).astype(np.float32)
+
+    base = FogParameterSet(alpha=0.06)
+    _, soft = soft_response_curve(base)
+    r_fog = float(np.argmax(np.asarray(soft)[:600])) / base.intervals_per_meter
+    noise = 10.0
+    amp = noise / base.intervals_per_meter
+    rel = r_fog / base.mor
+
+    devs = {}
+    for v in ("v1", "v2", "v3", "v4"):
+        p = FogParameterSet(alpha=0.06, noise=noise, noise_variant=v)
+        _, fog_pts, info = simulate_fog_pc(p, cloud, noise=noise)
+        assert info["num_scattered"] == n  # dim far ring: all fogged
+        devs[v] = np.linalg.norm(fog_pts[:, :3], axis=1) - r_fog
+
+    eps = 1e-3
+    assert np.abs(devs["v1"]).max() <= amp + eps          # uniform, bounded
+    assert np.abs(devs["v1"]).max() > 0.9 * amp           # ...and spread
+    assert np.abs(devs["v2"]).max() > amp                 # gaussian tail
+    assert np.abs(devs["v3"]).max() <= amp * rel + eps    # scaled uniform
+    # same seed => identical underlying fields: v3/v4 are exactly rel * v1/v2
+    # (away from the [0.3, range] clip)
+    sel = np.abs(devs["v2"]) < (r_fog - 0.31) / 1.0
+    np.testing.assert_allclose(
+        devs["v3"], devs["v1"] * rel, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        devs["v4"][sel], devs["v2"][sel] * rel, atol=5e-3
+    )
+
+
 def test_simulate_fog_pc_reference_signature(cloud):
     """The submodule's simulate_fog(p, pc, noise) call shape
     (`pointcloud_viewer.py:2944`)."""
