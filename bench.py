@@ -159,7 +159,7 @@ def main():
         pulse_block=int(os.environ.get("BENCH_PBLOCK", "512")),
         pallas_pair=os.environ.get("BENCH_PAIR", "0") == "1",
         pulse_pair=os.environ.get("BENCH_PPAIR", "0") == "1",
-        band_width=int(os.environ.get("BENCH_BAND", "256")),
+        band_width=int(os.environ.get("BENCH_BAND", "0")),
         band_group=int(os.environ.get("BENCH_BGROUP", "8")),
         chunk_group=8,
     )

@@ -98,16 +98,19 @@ class SnowfallConfig:
     # interpreter (CPU testing only).
     use_pallas: bool = True
     pallas_interpret: bool = False
-    # BANDED phase A: points and bank are both azimuth-sorted, so each
-    # band_group consecutive beams only ever intersect a narrow contiguous
-    # band of the chunk's slice. With band_width > 0 each group gets its own
-    # band_width-wide aligned bank band (own DMA + LUT slice bound) and the
-    # intersection + masked-argmin extraction runs on
-    # (blk/band_group, band_group, band_width + wide) arrays — ~4x fewer
-    # vector cells per trip than the shared full-width slice. band_width = 0
-    # falls back to the full-slice kernel. Coverage stays overflow-checked
-    # per group.
-    band_width: int = 256
+    # BANDED phase A (opt-in; default OFF): points and bank are both
+    # azimuth-sorted, so each band_group of consecutive beams only ever
+    # intersects a narrow band of the chunk's slice. With band_width > 0
+    # each group carves TWO band_width-wide aligned views (head- and
+    # tail-anchored; azimuth gaps from box shadows give two clusters) out
+    # of the chunk's in-VMEM slice, with per-point in-kernel coverage
+    # verification. MEASURED SLOWER than the full-slice kernel at bench
+    # shapes despite 4x fewer tested cells (BASELINE.md round-3 ledger:
+    # the honest dual-band variants cost 43.5-44.5 ms/step vs 40.5; the
+    # extraction trips and per-step overheads dominate, not candidate
+    # width) — kept as a tested opt-in because the economics flip for
+    # denser banks (wider slices) on future hardware.
+    band_width: int = 0
     band_group: int = 8
     # interleave two chunks per phase-A grid step (independent extraction
     # chains double the ILP of the latency-bound masked-argmin loop);

@@ -490,17 +490,17 @@ def snowfall_augment_dense(
     # only widen coverage. Falls back to XLA when the bank row is too short
     # for the aligned slice.
     w_pallas = w_sl + 128
-    # banded phase A (see config.band_width): per-group bands need only
-    # k_ext >= band_width, a much weaker condition than the full slice
+    # banded phase A (see config.band_width): per-group dual bands are
+    # in-VMEM views of the chunk-wide slice, so the slice condition is the
+    # same as the full-slice kernel's
     band = cfg.band_width if (
         cfg.band_width > 0 and blk % cfg.band_group == 0
-        and k_ext >= cfg.band_width
+        and w_pallas >= 2 * cfg.band_width
     ) else 0
-    need_w = band if band else w_pallas
     use_pallas = (
         cfg.use_pallas
         and (cfg.pallas_interpret or jax.default_backend() == "tpu")
-        and k_ext >= need_w
+        and k_ext >= w_pallas
     )
     if use_pallas:
         from lidar_snow_sim_tpu.ops.pallas_occluders import (
@@ -577,21 +577,83 @@ def snowfall_augment_dense(
             )[None, :]                                     # (n_chunks, G)
             a_lo = jnp.maximum(lo_row, start_c[:, None])
             a_hi = jnp.minimum(lo_row + gsz, end_c[:, None])
-            has = alive[:, None] & (a_lo < a_hi)
             rows_b = row_of_chunk[:, None]
+
+            # GATHER-FREE group az bounds. Per-index gathers at (n_chunks,
+            # G) scale cost ~5 ms/step (measured; the repo's "small gathers
+            # pay per-index" lesson), so instead: stats over every ALIGNED
+            # gsz-row window of the sorted order (pure elementwise +
+            # reshape), sliced per channel (64 wide dynamic slices — pay
+            # per-row, not per-index). A window can straddle two channels,
+            # so each window carries bounds under both the first-row-channel
+            # and last-row-channel hypotheses and the chunk picks its own.
+            az_all = jnp.arctan2(sy, sx)                   # (n_pad,)
+            ch_row = jnp.round(s_key / 8.0).astype(jnp.int32)
+            wz = az_all.reshape(-1, gsz)
+            wch = ch_row.reshape(-1, gsz)
+            chf = wch[:, 0]
+            chl = wch[:, -1]
+            mf = wch == chf[:, None]
+            ml = wch == chl[:, None]
+            minf = jnp.min(jnp.where(mf, wz, jnp.inf), axis=1)
+            maxf = jnp.max(jnp.where(mf, wz, -jnp.inf), axis=1)
+            minl = jnp.min(jnp.where(ml, wz, jnp.inf), axis=1)
+            maxl = jnp.max(jnp.where(ml, wz, -jnp.inf), axis=1)
+            # per-channel contiguous window ranges; pad so the slices of
+            # tail channels never clamp-shift (which would misalign groups)
+            nwin = bpc1 * (blk // gsz)
+            wstart = ((start // blk) * blk // gsz).astype(jnp.int32)
+
+            def per_channel(arr, fill):
+                arr = jnp.concatenate(
+                    [arr, jnp.full((nwin,), fill, arr.dtype)]
+                )
+                sl = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(arr, (s,), (nwin,))
+                )(wstart)                                  # (n_ch, nwin)
+                return sl.reshape(n_chunks, g_dim)
+
+            chf_cg = per_channel(chf, -1)
+            chl_cg = per_channel(chl, -1)
+            minf_cg = per_channel(minf, jnp.inf)
+            maxf_cg = per_channel(maxf, -jnp.inf)
+            minl_cg = per_channel(minl, jnp.inf)
+            maxl_cg = per_channel(maxl, -jnp.inf)
+            ch_c = ch_of_chunk[:, None]
+            sel_f = chf_cg == ch_c
+            sel_l = chl_cg == ch_c
+            has = alive[:, None] & (a_lo < a_hi)
+            # a window can hold rows of THREE channels (a tiny mid channel
+            # matches neither hypothesis): force the full-period fallback —
+            # lo = 0 with ±inf bounds, correct when count <= band (dedup
+            # keeps one copy of every particle) and otherwise counted in
+            # cover_overflow so the band grows. Essentially unreachable on
+            # real scans (every live channel has hundreds of FOV points).
+            min_az_b = jnp.where(
+                sel_f, minf_cg,
+                jnp.where(sel_l, minl_cg, jnp.float32(-1e9)),
+            )
+            max_az_b = jnp.where(
+                sel_f, maxf_cg,
+                jnp.where(sel_l, maxl_cg, jnp.float32(1e9)),
+            )
         else:
             a_lo = jnp.maximum(w0, start_c)
             a_hi = jnp.minimum(w0 + blk, end_c)
             has = alive & (a_lo < a_hi)
             rows_b = row_of_chunk
-        ia = jnp.clip(a_lo, 0, n_pad - 1)
-        ib = jnp.clip(a_hi - 1, 0, n_pad - 1)
-        min_az = jnp.where(
-            has, jnp.arctan2(sy[ia], sx[ia]), jnp.inf
-        )
-        max_az = jnp.where(
-            has, jnp.arctan2(sy[ib], sx[ib]), -jnp.inf
-        )
+        if band:
+            min_az = jnp.where(has, min_az_b, jnp.inf)
+            max_az = jnp.where(has, max_az_b, -jnp.inf)
+        else:
+            ia = jnp.clip(a_lo, 0, n_pad - 1)
+            ib = jnp.clip(a_hi - 1, 0, n_pad - 1)
+            min_az = jnp.where(
+                has, jnp.arctan2(sy[ia], sx[ia]), jnp.inf
+            )
+            max_az = jnp.where(
+                has, jnp.arctan2(sy[ib], sx[ib]), -jnp.inf
+            )
         # slice bounds from the bank's precomputed azimuth-bin LUT
         # (banks.LUT_*): one tiny gather per bound instead of a ~15-step
         # sequential binary-search chain (3 ms/step at bench shapes). The
@@ -608,19 +670,6 @@ def snowfall_augment_dense(
         lo_raw = bank.lut[rows_b, b_lo]
         hi_req = bank.lut[rows_b, b_hi]
 
-        w_eff = band if band else w_pallas
-        lo = jnp.clip(lo_raw, 0, k_ext - w_eff)
-        lo = (lo // 128) * 128
-        # a slice/band at least count wide covers one full wrap period =
-        # every particle (duplicate copies carry identical x/y properties),
-        # so only rows with count > w_eff can genuinely under-cover
-        uncovered = bank.count[rows_b] > w_eff
-        cover_overflow = jnp.sum(
-            jnp.where(
-                has & uncovered,
-                jnp.maximum(hi_req - (lo + w_eff), 0), 0,
-            )
-        )
         feats_b = point_features(
             sx, sy, sz, cfg.beam_divergence_rad
         ).reshape(n_pad // blk, blk, -1)
@@ -630,13 +679,103 @@ def snowfall_augment_dense(
             interpret=cfg.pallas_interpret,
             pair=cfg.pallas_pair and n_chunks % 2 == 0 and not band,
             band=band, band_group=cfg.band_group,
+            # only the first wide_capacity wide lanes can hold real
+            # candidates; slicing the rest out of the banded compute keeps
+            # the per-group candidate width at a lane-tile multiple
+            # (2*240 + 32 = 512) instead of paying for 128 filler lanes
+            wide_sl=min(
+                bank.wide_t.shape[2],
+                max(32, -(-cfg.wide_capacity // 32) * 32),
+            ),
         )
-        occ_a1, occ_a2, occ_dist, occ_valid, occ_of_pts = run(
-            feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
-            lo.reshape(-1).astype(jnp.int32), bank.count.astype(jnp.int32),
-            bank.data_t, bank.wide_t,
-        )                                          # (n_chunks, K, blk) each
-        occ_valid = occ_valid & valid_blk[:, None, :]
+        if band:
+            # per-chunk slice anchor from the chunk hull (the min/max of
+            # the per-group stats), exactly like the full-slice kernel
+            c_min_az = jnp.min(jnp.where(has, min_az_b, jnp.inf), axis=1)
+            c_max_az = jnp.max(jnp.where(has, max_az_b, -jnp.inf), axis=1)
+            cb_lo = jnp.clip(
+                jnp.floor((c_min_az - delta - LUT_LO) * inv_w) - 1,
+                0, LUT_BINS,
+            ).astype(jnp.int32)
+            cb_hi = jnp.clip(
+                jnp.floor((c_max_az + delta - LUT_LO) * inv_w) + 2,
+                0, LUT_BINS,
+            ).astype(jnp.int32)
+            lo_c_raw = bank.lut[row_of_chunk, cb_lo]
+            hi_c_req = bank.lut[row_of_chunk, cb_hi]
+            lo_c = jnp.clip(lo_c_raw, 0, k_ext - w_pallas)
+            lo_c = (lo_c // 128) * 128
+            # chunk-level DMA coverage (growth lever: slice_width)
+            chunk_unc = (bank.count[row_of_chunk] > w_pallas) & (
+                hi_c_req > lo_c + w_pallas
+            )
+            chunk_cover_of = jnp.sum(
+                jnp.where(chunk_unc,
+                          jnp.maximum(hi_c_req - (lo_c + w_pallas), 0), 0)
+            )
+            # dual bands per group: head-anchored (aligned DOWN from the
+            # left edge) and tail-anchored (aligned UP so the band END
+            # covers the right edge), both clamped into the chunk slice so
+            # the in-VMEM views stay in bounds (all quantities 128-aligned)
+            lo_a = (jnp.clip(lo_raw, 0, k_ext - band) // 128) * 128
+            lo_b = jnp.clip(-(-(hi_req - band) // 128) * 128, 0,
+                            k_ext - band)
+            lo_a = jnp.clip(lo_a, lo_c[:, None],
+                            lo_c[:, None] + (w_pallas - band))
+            lo_b = jnp.clip(lo_b, lo_c[:, None],
+                            lo_c[:, None] + (w_pallas - band))
+            glo_vec = jnp.stack(
+                [lo_a, lo_b], axis=2
+            ).astype(jnp.int32)                    # (n_chunks, G, 2)
+            occ_a12d, occ_of_pts, unc_pts = run(
+                feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
+                lo_c.astype(jnp.int32),
+                lo_a.reshape(-1).astype(jnp.int32),
+                lo_b.reshape(-1).astype(jnp.int32),
+                glo_vec, bank.count.astype(jnp.int32),
+                bank.data_t, bank.wide_t, delta,
+            )                                      # (n_chunks, 3K, blk)
+            # a point is uncovered only if BOTH checks flag it: the
+            # in-kernel angle-edge check cannot see an EMPTY needed window
+            # (seam gaps in the bank look like uncovered edges), and the
+            # hull-index check cannot see an azimuth GAP between clusters
+            # (its interval spans the gap). Each is conservative where the
+            # other is exact, so their AND is still an over-count of true
+            # coverage misses, never an under-count.
+            hull_unc = (bank.count[rows_b] > band) & (hi_req > lo_a + band)
+            g_dim = blk // cfg.band_group
+            cover_overflow = chunk_cover_of + jnp.sum(
+                jnp.where(
+                    valid_blk.reshape(n_chunks, g_dim, cfg.band_group)
+                    & hull_unc[:, :, None],
+                    unc_pts.reshape(n_chunks, g_dim, cfg.band_group),
+                    0,
+                )
+            )
+        else:
+            lo = jnp.clip(lo_raw, 0, k_ext - w_pallas)
+            lo = (lo // 128) * 128
+            # a slice at least count wide covers one full wrap period =
+            # every particle (duplicate copies carry identical x/y
+            # properties), so only count > w_pallas can under-cover
+            uncovered = bank.count[rows_b] > w_pallas
+            cover_overflow = jnp.sum(
+                jnp.where(
+                    has & uncovered,
+                    jnp.maximum(hi_req - (lo + w_pallas), 0), 0,
+                )
+            )
+            occ_a12d, occ_of_pts = run(
+                feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
+                lo.astype(jnp.int32), bank.count.astype(jnp.int32),
+                bank.data_t, bank.wide_t,
+            )                                      # (n_chunks, 3K, blk)
+        # occluder validity is derivable from the merged dist plane: the
+        # kernel writes dist = _BIG (3e38) for empty top-k slots and real
+        # ranges are < lidar_range
+        occ_valid = (
+            occ_a12d[:, 2 * cfg.max_occluders :, :] < 1e37
+        ) & valid_blk[:, None, :]
         occ_of = jnp.sum(jnp.where(valid_blk, occ_of_pts, 0))
         k_major = True
         rank_flat = rank_blk.reshape(-1)
@@ -724,15 +863,11 @@ def snowfall_augment_dense(
     n2 = n_chunks * blk
     k_occ = cfg.max_occluders
     if k_major:
-        # keep the kernel's lane-major (n_chunks, K, blk) layout: a
+        # keep the kernel's lane-major (n_chunks, 3K, blk) layout: a
         # point-major (n2, K) copy would pad the 24-lane minor dim to 128
-        # (5.3x HBM waste, 4 arrays, at full n2 scale). Point-major slices
-        # are produced only AFTER compaction, at cap scale.
+        # (5.3x HBM waste at full n2 scale). Point-major slices are
+        # produced only AFTER compaction, at cap scale.
         any_occ = jnp.any(occ_valid, axis=1).reshape(n2)
-
-        def gather_c(arr, ci):
-            km = arr.transpose(1, 0, 2).reshape(k_occ, n2)   # minor = blk
-            return km[:, ci].T                               # (cap, K)
     else:
         occ_a1 = occ_a1.reshape(n2, k_occ)
         occ_a2 = occ_a2.reshape(n2, k_occ)
@@ -823,15 +958,21 @@ def snowfall_augment_dense(
         c_xyz = jnp.stack([gs[0], gs[1], gs[2]], axis=-1)
         c_int = gs[3]
         c_orig = jax.lax.bitcast_convert_type(gs[4], jnp.int32)
-        c_a1 = gather_c(occ_a1, ci)
-        c_a2 = gather_c(occ_a2, ci)
-        c_rr = gather_c(occ_dist, ci)
+        # ONE column gather of the merged (3K, n2) kernel output replaces
+        # the former three separate K-plane gathers (~0.94 ms each at bench
+        # shapes — small gathers pay per-index overhead, so one launch over
+        # 3K rows costs ~one launch, not three)
+        km = occ_a12d.transpose(1, 0, 2).reshape(3 * k_occ, n2)
+        gm = km[:, ci].T                                   # (cap, 3K)
+        c_a1 = gm[:, :k_occ]
+        c_a2 = gm[:, k_occ : 2 * k_occ]
+        c_rr = gm[:, 2 * k_occ :]
         # validity is derivable from the gathered ranges: the kernel writes
         # dist = _BIG (3e38) for empty top-k slots and real ranges are
-        # < lidar_range, so the fourth K-plane gather is redundant. The
+        # < lidar_range, so a valid K-plane gather is redundant. The
         # per-point valid_blk mask needs no re-apply here — compaction
         # (any_occ over the MASKED occ_valid) only admits valid points,
-        # whose kernel valid column equals dist < _BIG exactly.
+        # whose kernel dist column equals dist < _BIG exactly.
         c_occ_valid = (c_rr < 1e37) & c_ok[:, None]
     else:
         c_ch = ci // pch          # channel of slot i is i // pch (C, pch)

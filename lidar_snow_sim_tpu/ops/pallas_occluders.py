@@ -34,18 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 TWO_PI = 2.0 * math.pi
 _BIG = 3.0e38  # plain float: a jnp scalar here would be a captured constant
 
-N_FEAT = 8   # point-feature rows
-N_PROP = 8   # bank property rows (2 spare)
+N_FEAT = 9   # point-feature rows
+N_PROP = 8   # bank property rows (1 spare)
 
 
 def point_features(x, y, z, beam_rad: float):
     """Per-point feature rows for the kernel from separate coordinate
     PLANES (a stacked (..., 3) input would make 3 the HBM minormost dim and
     pad 42x under (8, 128) tiling), computed in XLA (atan2/sin/cos are not
-    lowerable inside Mosaic)."""
+    lowerable inside Mosaic). Row 8 is the SIGNED azimuth, used by the
+    banded kernel's per-point coverage check against the bank's signed
+    sort-angle property row."""
     d = jnp.sqrt(x * x + y * y + z * z)
-    center = jnp.arctan2(y, x)
-    center = jnp.where(center < 0, center + TWO_PI, center)
+    az = jnp.arctan2(y, x)
+    center = jnp.where(az < 0, az + TWO_PI, az)
     right = center - beam_rad / 2
     right = jnp.where(right < 0, right + TWO_PI, right)
     left = center + beam_rad / 2
@@ -55,6 +57,7 @@ def point_features(x, y, z, beam_rad: float):
             d, right, left,
             jnp.sin(right), jnp.cos(right), jnp.sin(left), jnp.cos(left),
             (right > left).astype(jnp.float32),
+            az,
         ],
         axis=-1,
     )
@@ -120,25 +123,25 @@ def _prep_side(feat, cand, n_row, *, blk: int, w_sl: int, k_occ: int):
     return score, a1b, a2b, ovf, block_k
 
 
-def _extract_step(k, score, col, a1b, a2b, a1_out, a2_out, dist_out,
-                  valid_out, s: int):
+def _extract_step(k, score, col, a1b, a2b, out, s: int, k_occ: int):
     """One masked-argmin extraction trip (== top_k value/index order);
-    writes the k-th occluder of output block row `s` and returns the score
+    writes the k-th occluder of output block row `s` into the MERGED
+    (3K, blk) output (rows [0,K) = a1, [K,2K) = a2, [2K,3K) = dist — one
+    array so the downstream compaction gather is ONE gather launch instead
+    of three; validity is derivable as dist < _BIG) and returns the score
     with the winner retired."""
     c = score.shape[1]
     m = jnp.min(score, axis=1, keepdims=True)          # (blk, 1)
     eq = score == m
     first = jnp.min(jnp.where(eq, col, c), axis=1, keepdims=True)
     onehot = col == first
-    valid = m < _BIG
-    a1_out[s, pl.ds(k, 1), :] = jnp.sum(
+    out[s, pl.ds(k, 1), :] = jnp.sum(
         jnp.where(onehot, a1b, 0.0), axis=1
     )[None, :]
-    a2_out[s, pl.ds(k, 1), :] = jnp.sum(
+    out[s, pl.ds(k_occ + k, 1), :] = jnp.sum(
         jnp.where(onehot, a2b, 0.0), axis=1
     )[None, :]
-    dist_out[s, pl.ds(k, 1), :] = m[:, 0][None, :]
-    valid_out[s, pl.ds(k, 1), :] = valid[:, 0].astype(jnp.float32)[None, :]
+    out[s, pl.ds(2 * k_occ + k, 1), :] = m[:, 0][None, :]
     return jnp.where(onehot, _BIG, score)
 
 
@@ -150,10 +153,8 @@ def _kernel(
     feat_ref,      # (1, blk, N_FEAT) VMEM block
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY (ParticleBank.data_t)
     wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY (ParticleBank.wide_t)
-    a1_out,        # (1, K, blk) — K on the sublane axis so each k-step
-    a2_out,        #               writes one contiguous lane row
-    dist_out,      # (1, K, blk)
-    valid_out,     # (1, K, blk) f32 0/1
+    a12d_out,      # (1, 3K, blk) merged [a1; a2; dist] — K on the sublane
+    #                axis so each k-step writes contiguous lane rows
     ovf_out,       # (1, 1, blk) i32
     cand_scr,      # VMEM (N_PROP, W + Wc)
     sems,          # DMA semaphores (2,)
@@ -188,31 +189,29 @@ def _kernel(
     ovf_out[0, 0, :] = ovf
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, score.shape[1]), 1)
 
-    a1_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
-    a2_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
-    dist_out[0] = jnp.full((k_occ, blk), _BIG, jnp.float32)
-    valid_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+    a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+        (2 * k_occ, blk), jnp.float32
+    )
+    a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+        (k_occ, blk), _BIG, jnp.float32
+    )
 
     # Trip count is the block's max occluder count (occluders are sparse:
     # typically <= 8 of K=24), with untaken slots pre-cleared.
     def body(k, score):
-        return _extract_step(
-            k, score, col, a1b, a2b,
-            a1_out, a2_out, dist_out, valid_out, 0,
-        )
+        return _extract_step(k, score, col, a1b, a2b, a12d_out, 0, k_occ)
 
     jax.lax.fori_loop(0, block_k, body, score)
 
 
-def _prep_banded(feat, cand, n_row, *, w_band: int, k_occ: int):
+def _prep_banded(feat, cand, keep, *, k_occ: int):
     """Banded intersection test + interval computation.
 
     feat: (blk, N_FEAT) point features, row p = group p // group's point.
-    cand: (G, 1, C) per-property candidate rows (group g's band followed by
-    the shared wide list). Semantics identical to _prep_side; only the
-    shapes differ — each group's 8 points test their own narrow band.
-    Returns (score, a1b, a2b, ovf (G, group), block_k) with (G, group, C)
-    score/interval arrays.
+    cand: (G, 1, C) per-property candidate rows (group g's two bands
+    followed by the shared wide list). keep: (G, 1, C) dedup mask (wrap
+    period + inter-band overlap). Semantics identical to _prep_side; only
+    the shapes differ — each group's points test their own narrow bands.
     """
     g_dim, _, c = cand[0].shape
     blk = feat.shape[0]
@@ -236,14 +235,7 @@ def _prep_banded(feat, cand, n_row, *, w_band: int, k_occ: int):
     right_hit = (dist_r < pr) & (cos_r * px + sin_r * py > 0)
     left_hit = (dist_l < pr) & (cos_l * px + sin_l * py > 0)
 
-    hit = (center_in | right_hit | left_hit) & (pdist < d_orig)
-
-    # wrap-pad dedup (banks.py layout): entries repeat with period
-    # count[row]; keeping band-local offset < count keeps exactly one
-    # period starting at the band's lo (translation-invariant — the band
-    # start drops out). Wide columns (offset >= w_band) never duplicate.
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (g_dim, group, c), 2)
-    hit = hit & ((col3 >= w_band) | (col3 < n_row))
+    hit = (center_in | right_hit | left_hit) & (pdist < d_orig) & keep
 
     a1_raw = pang - halfw
     a1_raw = jnp.where(a1_raw < 0, a1_raw + TWO_PI, a1_raw)
@@ -257,63 +249,111 @@ def _prep_banded(feat, cand, n_row, *, w_band: int, k_occ: int):
 
     score = jnp.where(hit, jnp.broadcast_to(pdist, hit.shape), _BIG)
     block_k = jnp.minimum(jnp.max(n_hit), k_occ)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (g_dim, group, c), 2)
     return score, a1, a2, ovf, block_k, col3
 
 
 def _kernel_banded(
     w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
-    glo_ref,       # (n_chunks * G,) i32, scalar-prefetch: per-GROUP band lo
+    gloc_ref,      # (n_chunks,) i32: chunk-wide slice starts
+    gloa_ref,      # (n_chunks * G,) i32: head-anchored band starts
+    glob_ref,      # (n_chunks * G,) i32: tail-anchored band starts
     counts_ref,    # (C_banks,) i32, scalar-prefetch
     feat_ref,      # (1, blk, N_FEAT) VMEM block
+    glo_vec_ref,   # (1, G, 2) i32 VMEM block: [loA, loB] per group (G on
+    # the sublane axis — a (2, G) layout would need an unsupported
+    # lane->sublane shape cast to broadcast per group)
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
     wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
-    a1_out,        # (1, K, blk)
-    a2_out,
-    dist_out,
-    valid_out,
-    ovf_out,       # (1, 1, blk) i32
-    band_scr,      # VMEM (G, N_PROP, w_band)
+    a12d_out,      # (1, 3K, blk) merged [a1; a2; dist]
+    ovf_out,       # (1, 2, blk) i32: [occluder overflow; uncovered]
+    slice_scr,     # VMEM (N_PROP, W_chunk)
     wide_scr,      # VMEM (N_PROP, Wc)
-    sems,          # DMA semaphores (G + 1,)
+    sems,          # DMA semaphores (2,)
     *,
     blk: int,
-    w_band: int,
+    band: int,
     group: int,
+    w_chunk: int,
     wide_sl: int,
     k_occ: int,
+    delta: float,
 ):
-    """Banded phase A: each band_group consecutive (azimuth-sorted) points
-    share one narrow w_band-wide bank band instead of the whole chunk-wide
-    slice — same exact semantics, ~4x fewer vector cells per extraction
-    trip (the full-width kernel spends most of its VPU work testing
-    candidates that can only ever belong to other groups)."""
+    """Sliced dual-banded phase A.
+
+    ONE chunk-wide slice DMA (plus the wide list) per grid step — per-group
+    DMAs were measured at ~0.09 us of issue overhead each, which at 2 x 16
+    bands x 4608 chunk-steps dominated the banded kernel — then each
+    band_group of consecutive (azimuth-sorted) points carves TWO narrow
+    bands out of the in-VMEM slice with scalar-driven 128-aligned lane
+    slices: one anchored at the group's left window edge, one ending at its
+    right edge. For gap-free groups the bands overlap (the overlap is
+    deduped by global index); box-shadow azimuth gaps give two disjoint
+    clusters, each covered by its own band. Coverage is verified PER POINT
+    in-kernel against the bands' signed sort-angle edges (bank property
+    row 6 vs feature row 8) — the conservative XLA hull check cannot
+    express a gap — and reported in ovf_out row 1 so capacity growth stays
+    loud, never silent."""
     i = pl.program_id(0)
     row = rows_ref[i]
     g_dim = blk // group
+    count = counts_ref[row]
+    lo_c = pl.multiple_of(gloc_ref[i], 128)
 
-    wide_cp = pltpu.make_async_copy(wide_ref.at[row], wide_scr, sems.at[g_dim])
+    slice_cp = pltpu.make_async_copy(
+        bank_ref.at[row, :, pl.ds(lo_c, w_chunk)], slice_scr, sems.at[0]
+    )
+    slice_cp.start()
+    wide_cp = pltpu.make_async_copy(wide_ref.at[row], wide_scr, sems.at[1])
     wide_cp.start()
-    cps = []
-    for g in range(g_dim):
-        lo = pl.multiple_of(glo_ref[i * g_dim + g], 128)
-        cp = pltpu.make_async_copy(
-            bank_ref.at[row, :, pl.ds(lo, w_band)],
-            band_scr.at[g],
-            sems.at[g],
-        )
-        cp.start()
-        cps.append(cp)
     feat = feat_ref[0]                                    # (blk, N_FEAT)
+    lo_a_v = glo_vec_ref[0, :, 0:1][:, :, None]           # (G, 1, 1)
+    lo_b_v = glo_vec_ref[0, :, 1:2][:, :, None]
+    d_ab = lo_b_v - lo_a_v                                # (G, 1, 1) i32
+    slice_cp.wait()
     wide_cp.wait()
-    for cp in cps:
-        cp.wait()
 
-    # per-property candidate rows: group band ++ shared wide list
+    # in-VMEM band views: all offsets are 128-aligned differences of
+    # 128-aligned starts (the XLA side clamps band anchors into the chunk
+    # window), so the dynamic lane slices keep Mosaic's tiling alignment.
+    # Reads are per PROPERTY ROW (a sliced row of a stacked value keeps a
+    # sublane offset that Mosaic's concat rejects; fresh row reads don't).
+    off_a = [
+        pl.multiple_of(gloa_ref[i * g_dim + g] - lo_c, 128)
+        for g in range(g_dim)
+    ]
+    off_b = [
+        pl.multiple_of(glob_ref[i * g_dim + g] - lo_c, 128)
+        for g in range(g_dim)
+    ]
+
+    def band_rows(offs, p):
+        return jnp.stack(
+            [slice_scr[p, pl.ds(offs[g], band)] for g in range(g_dim)]
+        )                                                 # (G, band)
+
+    c_tot = 2 * band + wide_sl
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (g_dim, 1, c_tot), 2)
+    is_a = col3 < band
+    is_b = (col3 >= band) & (col3 < 2 * band)
+    j_b = col3 - band
+    # dedup: keep one wrap-period copy anchored at loA (translation
+    # invariant: global - loA < count), and drop B columns already present
+    # in A (global index < loA + band). Pure boolean algebra — a select on
+    # i1 vectors does not lower in Mosaic ("unsupported truncation").
+    keep = (
+        (is_a & (col3 < count))
+        | (is_b & (d_ab + j_b >= band) & (d_ab + j_b < count))
+        | (col3 >= 2 * band)
+    )
+
+    # per-property candidate rows: band A ++ band B ++ shared wide list
     cand = tuple(
         jnp.concatenate(
             [
-                band_scr[:, p, :],
+                band_rows(off_a, p),
+                band_rows(off_b, p),
                 jnp.broadcast_to(wide_scr[p : p + 1, :wide_sl],
                                  (g_dim, wide_sl)),
             ],
@@ -323,14 +363,37 @@ def _kernel_banded(
     )
 
     score, a1b, a2b, ovf, block_k, col3 = _prep_banded(
-        feat, cand, counts_ref[row], w_band=w_band, k_occ=k_occ,
+        feat, cand, keep, k_occ=k_occ,
     )
-    ovf_out[0] = ovf.reshape(1, blk)
 
-    a1_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
-    a2_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
-    dist_out[0] = jnp.full((k_occ, blk), _BIG, jnp.float32)
-    valid_out[0] = jnp.zeros((k_occ, blk), jnp.float32)
+    # --- per-point coverage: the point's needed sort-angle window
+    # [az - delta, az + delta] must lie inside band A, band B, or (when the
+    # bands overlap/adjoin) their union; a full wrap period in one band
+    # covers everything. Uncovered points are COUNTED (ovf row 1).
+    azp = feat[:, 8:9].reshape(g_dim, group, 1)
+    sang_a = band_rows(off_a, 6)                          # (G, band)
+    sang_b = band_rows(off_b, 6)
+    s_a0 = sang_a[:, 0:1][:, :, None]                     # (G, 1, 1)
+    s_a1 = sang_a[:, band - 1 : band][:, :, None]
+    s_b0 = sang_b[:, 0:1][:, :, None]
+    s_b1 = sang_b[:, band - 1 : band][:, :, None]
+    need_l = azp - delta
+    need_r = azp + delta
+    in_a = (s_a0 <= need_l) & (need_r <= s_a1)
+    in_b = (s_b0 <= need_l) & (need_r <= s_b1)
+    in_j = (d_ab <= band) & (s_a0 <= need_l) & (need_r <= s_b1)
+    covered = (count <= band) | in_a | in_b | in_j
+    unc = (~covered[:, :, 0]).astype(jnp.int32)           # (G, group)
+
+    ovf_out[0, 0:1, :] = ovf.reshape(1, blk)
+    ovf_out[0, 1:2, :] = unc.reshape(1, blk)
+
+    a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+        (2 * k_occ, blk), jnp.float32
+    )
+    a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+        (k_occ, blk), _BIG, jnp.float32
+    )
 
     c = score.shape[2]
 
@@ -339,16 +402,13 @@ def _kernel_banded(
         eq = score == m
         first = jnp.min(jnp.where(eq, col3, c), axis=2, keepdims=True)
         onehot = col3 == first
-        a1_out[0, pl.ds(k, 1), :] = jnp.sum(
+        a12d_out[0, pl.ds(k, 1), :] = jnp.sum(
             jnp.where(onehot, a1b, 0.0), axis=2
         ).reshape(1, blk)
-        a2_out[0, pl.ds(k, 1), :] = jnp.sum(
+        a12d_out[0, pl.ds(k_occ + k, 1), :] = jnp.sum(
             jnp.where(onehot, a2b, 0.0), axis=2
         ).reshape(1, blk)
-        dist_out[0, pl.ds(k, 1), :] = m[:, :, 0].reshape(1, blk)
-        valid_out[0, pl.ds(k, 1), :] = (
-            (m[:, :, 0] < _BIG).astype(jnp.float32).reshape(1, blk)
-        )
+        a12d_out[0, pl.ds(2 * k_occ + k, 1), :] = m[:, :, 0].reshape(1, blk)
         return jnp.where(onehot, _BIG, score)
 
     jax.lax.fori_loop(0, block_k, body, score)
@@ -363,10 +423,7 @@ def _kernel_pair(
     feat_b_ref,    # (1, blk, N_FEAT) VMEM block of chunk 2i + 1
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
     wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
-    a1_out,        # (2, K, blk)
-    a2_out,
-    dist_out,
-    valid_out,
+    a12d_out,      # (2, 3K, blk) merged [a1; a2; dist]
     ovf_out,       # (2, 1, blk) i32
     cand_scr,      # VMEM (2, N_PROP, W + Wc)
     sems,          # DMA semaphores (4,)
@@ -412,10 +469,12 @@ def _kernel_pair(
             blk=blk, w_sl=w_sl, k_occ=k_occ,
         )
         ovf_out[s, 0, :] = ovf
-        a1_out[s] = jnp.zeros((k_occ, blk), jnp.float32)
-        a2_out[s] = jnp.zeros((k_occ, blk), jnp.float32)
-        dist_out[s] = jnp.full((k_occ, blk), _BIG, jnp.float32)
-        valid_out[s] = jnp.zeros((k_occ, blk), jnp.float32)
+        a12d_out[s, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+            (2 * k_occ, blk), jnp.float32
+        )
+        a12d_out[s, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+            (k_occ, blk), _BIG, jnp.float32
+        )
         sides.append((score, a1b, a2b, block_k))
 
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, sides[0][0].shape[1]), 1)
@@ -425,7 +484,7 @@ def _kernel_pair(
         return tuple(
             _extract_step(
                 k, carry[s], col, sides[s][1], sides[s][2],
-                a1_out, a2_out, dist_out, valid_out, s,
+                a12d_out, s, k_occ,
             )
             for s in (0, 1)
         )
@@ -441,12 +500,15 @@ def make_pallas_occluder_phase(
     """Build the fused phase-A callable for fixed static shapes.
 
     The returned function takes (feats_b, w0_blocks, rows, los, counts,
-    bank_data_t, bank_wide_t) and returns (a1, a2, dist, valid, overflow)
-    shaped ((n_chunks, K, blk) x 4, (n_chunks, blk)) — K-MAJOR, i.e. the
-    kernel's native output layout with blk on the lane dim. Transposing to
-    (..., blk, K) here would materialize arrays whose 24-wide minor dim
-    pads to 128 lanes (5.3x HBM waste at n2 scale); callers that need
-    point-major slices should gather first and transpose at compact scale.
+    bank_data_t, bank_wide_t) and returns (a12d, overflow) shaped
+    ((n_chunks, 3K, blk), (n_chunks, blk)) — rows [0,K) = a1, [K,2K) = a2,
+    [2K,3K) = dist, K-MAJOR with blk on the lane dim; occluder validity is
+    dist < 1e37. One merged array (instead of a1/a2/dist/valid separately)
+    keeps the downstream compaction gather to ONE launch — three separate
+    (cap, K) gathers were ~0.94 ms each — and drops the per-trip valid-row
+    store. Transposing to (..., blk, 3K) here would materialize arrays
+    whose minor dim pads to 128 lanes (HBM waste at n2 scale); callers
+    should gather first and transpose at compact scale.
 
     feats_b is `point_features` over the (channel, azimuth)-SORTED point
     order, reshaped (n_pad // blk, blk, F); chunk i reads feature block
@@ -455,28 +517,34 @@ def make_pallas_occluder_phase(
     as sort payloads instead of gathering them into (C, pch) slots (the two
     slot gathers were 25% of the bench step).
 
-    With band > 0 the BANDED kernel runs: `los` must then be the per-GROUP
-    band starts, flattened (n_chunks * blk/band_group,), and w_sl is
-    ignored (each group DMAs its own band-wide slice).
+    With band > 0 the DUAL-BANDED kernel runs: pass per-GROUP head/tail
+    band starts gloa/glob flattened (n_chunks * blk/band_group,) plus the
+    same pair as a (n_chunks, 2, G) i32 vector array; w_sl is ignored.
+    Returns an extra (n_chunks, blk) uncovered-point plane (the in-kernel
+    per-point coverage check).
     """
     if band:
         g_dim = blk // band_group
         assert blk % band_group == 0
         w_used = wide_sl or wide_cap
-        kernel = functools.partial(
-            _kernel_banded, blk=blk, w_band=band, group=band_group,
-            wide_sl=w_used, k_occ=k_occ,
-        )
 
-        def run_banded(feats_b, w0_blocks, rows, glo, counts,
-                       bank_data_t, bank_wide_t):
+        def run_banded(feats_b, w0_blocks, rows, gloc, gloa, glob, glo_vec,
+                       counts, bank_data_t, bank_wide_t, delta: float):
             n_chunks = rows.shape[0]
+            kern = functools.partial(
+                _kernel_banded, blk=blk, band=band, group=band_group,
+                w_chunk=w_sl, wide_sl=w_used, k_occ=k_occ, delta=delta,
+            )
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
+                num_scalar_prefetch=6,
                 grid=(n_chunks,),
                 in_specs=[
                     pl.BlockSpec(
                         (1, blk, N_FEAT), lambda i, w0b, *_: (w0b[i], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, g_dim, 2), lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(memory_space=pl.ANY),
@@ -484,38 +552,36 @@ def make_pallas_occluder_phase(
                 ],
                 out_specs=[
                     pl.BlockSpec(
-                        (1, k_occ, blk), lambda i, *_: (i, 0, 0),
+                        (1, 3 * k_occ, blk), lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
-                ] * 4 + [
                     pl.BlockSpec(
-                        (1, 1, blk), lambda i, *_: (i, 0, 0),
+                        (1, 2, blk), lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((g_dim, N_PROP, band), jnp.float32),
+                    pltpu.VMEM((N_PROP, w_sl), jnp.float32),
                     pltpu.VMEM((N_PROP, bank_wide_t.shape[2]), jnp.float32),
-                    pltpu.SemaphoreType.DMA((g_dim + 1,)),
+                    pltpu.SemaphoreType.DMA((2,)),
                 ],
             )
-            a1, a2, dist, valid, ovf = pl.pallas_call(
-                kernel,
+            a12d, ovf = pl.pallas_call(
+                kern,
                 grid_spec=grid_spec,
                 out_shape=[
-                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                    jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                    jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
+                    jax.ShapeDtypeStruct(
+                        (n_chunks, 3 * k_occ, blk), jnp.float32
+                    ),
+                    jax.ShapeDtypeStruct((n_chunks, 2, blk), jnp.int32),
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=64 * 1024 * 1024,
                 ),
                 interpret=interpret,
-            )(w0_blocks, rows, glo, counts, feats_b, bank_data_t,
-              bank_wide_t)
-            return a1, a2, dist, valid > 0.5, ovf[:, 0, :]
+            )(w0_blocks, rows, gloc, gloa, glob, counts, feats_b, glo_vec,
+              bank_data_t, bank_wide_t)
+            return a12d, ovf[:, 0, :], ovf[:, 1, :]
 
         return run_banded
     if pair:
@@ -573,10 +639,9 @@ def make_pallas_occluder_phase(
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (blk0, k_occ, blk), lambda i, *_: (i, 0, 0),
+                    (blk0, 3 * k_occ, blk), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-            ] * 4 + [
                 pl.BlockSpec(
                     (blk0, 1, blk), lambda i, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -584,14 +649,13 @@ def make_pallas_occluder_phase(
             ],
             scratch_shapes=scratch,
         )
-        a1, a2, dist, valid, ovf = pl.pallas_call(
+        a12d, ovf = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
-                jax.ShapeDtypeStruct((n_chunks, k_occ, blk), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (n_chunks, 3 * k_occ, blk), jnp.float32
+                ),
                 jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -600,7 +664,7 @@ def make_pallas_occluder_phase(
             ),
             interpret=interpret,
         )(w0_blocks, rows, los, counts, *feat_args, bank_data_t, bank_wide_t)
-        return a1, a2, dist, valid > 0.5, ovf[:, 0, :]
+        return a12d, ovf[:, 0, :]
 
     # NOTE: under vmap over a frame batch the scalar-prefetch pallas_call
     # falls back to a serial while loop (one launch per frame). Folding the

@@ -40,7 +40,10 @@ _FILLER_DIST = 1e9
 # lut[row, bin(t) + 2] as CONSERVATIVE slice bounds — one tiny gather per
 # chunk instead of a ~15-step sequential binary-search chain (was 3 ms/step
 # at bench shapes).
-LUT_BINS = 4096
+LUT_BINS = 16384  # ~1e-3 rad/bin: the +-1-bin conservative guard then costs
+# only a few bank columns even at the heaviest rate (~2.9k particles/rad),
+# which matters for the banded phase A where guard + 128-alignment slack
+# must fit inside band_width
 LUT_LO = -8.0
 LUT_HI = 8.0
 
@@ -55,7 +58,10 @@ class ParticleBank(NamedTuple):
     data_t/wide_t are transposed property-major copies for the Pallas kernel
     (each property a contiguous lane row; Mosaic has no atan2/asin, so the
     wrapped azimuth and tangent half-width are precomputed columns):
-    rows = [x, y, r, dist, azimuth in [0, 2pi), asin(r/d), 0, 0].
+    rows = [x, y, r, dist, azimuth in [0, 2pi), asin(r/d), sort_angle, 0]
+    where sort_angle is the SIGNED extended sort azimuth (with the +-2pi
+    wrap shifts) used by the banded kernel's per-point coverage check;
+    wide_t rows carry 0 there (wide candidates are always tested).
     """
 
     data: np.ndarray        # (C, K_ext, 4) f32: x, y, r, dist
@@ -126,9 +132,12 @@ def build_bank(
     wide[:, :, 3] = _FILLER_DIST
     wide_count = np.zeros(C, dtype=np.int32)
 
-    def _transpose_props(arr4: np.ndarray) -> np.ndarray:
+    def _transpose_props(
+        arr4: np.ndarray, sort_angle: np.ndarray | None = None
+    ) -> np.ndarray:
         """(K, 4) [x,y,r,dist] -> (8, K) property rows with derived azimuth
-        (wrapped to [0, 2pi)) and tangent half-width columns."""
+        (wrapped to [0, 2pi)), tangent half-width, and (data rows only) the
+        signed extended sort-angle column."""
         k = len(arr4)
         out = np.zeros((8, k), dtype=np.float32)
         if k == 0:
@@ -140,6 +149,8 @@ def build_bank(
         out[5] = np.arcsin(np.clip(r / np.maximum(d, 1e-12), 0.0, 1.0))
         # filler entries (dist >= 1e9): keep azimuth huge so no test passes
         out[4] = np.where(d >= _FILLER_DIST, _FILLER_ANGLE, out[4])
+        if sort_angle is not None:
+            out[6] = sort_angle
         return out
 
     for c, (nr, wd) in enumerate(zip(narrow_rows, wide_rows)):
@@ -168,7 +179,9 @@ def build_bank(
             wide[c, : len(wd)] = wd.astype(np.float32)
             wide_count[c] = len(wd)
 
-    data_t = np.stack([_transpose_props(row) for row in data])
+    data_t = np.stack(
+        [_transpose_props(row, ang_row) for row, ang_row in zip(data, angle)]
+    )
     # lane dimension padded to a multiple of 128 (Mosaic DMA alignment);
     # filler lanes carry dist=1e9 so no intersection test can pass
     wc_pad = max(((wide_capacity + 127) // 128) * 128, 128)

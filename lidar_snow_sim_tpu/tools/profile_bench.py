@@ -58,7 +58,7 @@ def main(argv=None):
         wide_capacity=16, max_occluders=24, max_bumps=16, point_chunk=2048,
         assembly="dense", use_pallas=True, channel_capacity=1024,
         block_points=128, slice_width=1152, chunk_group=8,
-        band_width=int(os.environ.get("BENCH_BAND", "256")),
+        band_width=int(os.environ.get("BENCH_BAND", "0")),
         band_group=int(os.environ.get("BENCH_BGROUP", "8")),
     )
     bank = jax.device_put(build_bank(
