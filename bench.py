@@ -325,7 +325,7 @@ def main():
         from lidar_snow_sim_tpu.models.lisa import LISA
 
         l = LISA()
-        grids = l._dsd_inverse_cdf(10.0)
+        grids = l._dsd_tables(10.0)
         l_alpha = jnp.float32(l.alpha(10.0))
         l_dens = jnp.float32(l.droplet_density(10.0))
         lisa_carry = carry_b.at[..., 3].divide(255.0)

@@ -117,6 +117,12 @@ class LISA:
         self._d_grid = np.geomspace(d_lo, d_hi, dsd_points)  # mm
         self._qext = self._lut.interp_qext(self._d_grid)
         self._qback = self._lut.interp_qback(self._d_grid)
+        # geomspace grid => exactly uniform in log(D): Mie lookups in the
+        # kernel are direct index arithmetic, never a searchsorted (TPU
+        # lowers jnp.interp to a while-loop binary search; measured 603
+        # ms/scan at bench scale before this, ~350x the fog kernel)
+        self._log_d0 = math.log(d_lo)
+        self._inv_dlog = (dsd_points - 1) / math.log(d_hi / d_lo)
         self._jit_augment = jax.jit(self._augment_core)
 
     # ---- particle-size distributions (exponential family) ----
@@ -190,36 +196,105 @@ class LISA:
         nd = self.Nd(self._d_grid, Rr)
         return float(np.trapezoid(nd, self._d_grid))
 
-    def _dsd_inverse_cdf(self, Rr):
-        """(quantiles, diameters, qback_at_d, qback_cummax, qd2_cummax):
-        inverse CDF of the DSD on the quadrature grid for on-device
-        inverse-transform sampling, plus cumulative maxima of Qback(D) and
-        Qback(D)·D² used by the residual-droplet power bound (any droplet
-        with D <= Dm satisfies Qback·occl <= min(cummax_q(Dm),
-        cummax_qd2(Dm)/w(r)²))."""
-        nd = self.Nd(self._d_grid, Rr)
-        cdf = np.concatenate([[0.0], np.cumsum(
-            0.5 * (nd[1:] + nd[:-1]) * np.diff(self._d_grid)
-        )])
-        cdf /= cdf[-1]
-        # cdf has one more entry than the grid; pad the grid-indexed arrays
-        # on the same knots as the interp targets below
+    def _dsd_lambda(self, Rr):
+        """Exponential-DSD rate parameter Λ [mm⁻¹] by mode (the published
+        fits of Nd); None for the modified-gamma fog presets."""
+        if self.mode in ("snow", "gunn"):
+            return 2.55 * Rr ** (-0.48)
+        if self.mode == "sekhon":
+            return 2.29 * Rr ** (-0.45)
+        if self.mode == "fog":
+            return None
+        return 4.1 * Rr ** (-0.21)
+
+    def _dsd_tables(self, Rr):
+        """Device inputs for DSD inverse-transform sampling and the Mie
+        lookups, with NO on-device searchsorted (TPU lowers jnp.interp to a
+        while-loop binary search — measured ~600 ms/scan at bench scale):
+
+        - (lam, e_lo, e_span): the truncated-exponential inverse CDF of the
+          precipitation DSDs is analytic, D(q) = -ln(e_lo − q·e_span)/Λ
+          over [d_lo, d_hi] — exact, no table at all (zeros for fog);
+        - inv_pairs (Q, 2): for the fog modified-gamma DSD, a host-baked
+          uniform-quantile inverse-CDF table (knot i covers q ∈
+          [i/Q, (i+1)/Q]; rows are (D(qᵢ), D(qᵢ₊₁)) so one row gather +
+          lerp replaces the searchsorted);
+        - qb_pairs (G−1, 2): Qback knot pairs on the geomspace grid —
+          uniform in log(D), so the bracketing cell is index arithmetic;
+        - cap_pairs (G−1, 4): knot pairs of cummax(Qback) and
+          cummax(Qback·D²) for the residual-droplet power bound (any
+          droplet with D ≤ Dm satisfies Qback·occl ≤ min(cummax_q(Dm),
+          cummax_qd2(Dm)/w(r)²))."""
+        lam = self._dsd_lambda(Rr)
+        if lam is None:
+            nd = self.Nd(self._d_grid, Rr)
+            cdf = np.concatenate([[0.0], np.cumsum(
+                0.5 * (nd[1:] + nd[:-1]) * np.diff(self._d_grid)
+            )])
+            cdf /= cdf[-1]
+            q = np.linspace(0.0, 1.0, 513)
+            inv = np.interp(q, cdf, self._d_grid)
+            inv_pairs = np.column_stack([inv[:-1], inv[1:]])
+            lam, e_lo, e_span = 1.0, 0.0, 0.0
+        else:
+            d_lo, d_hi = float(self._d_grid[0]), float(self._d_grid[-1])
+            e_lo = math.exp(-lam * d_lo)
+            e_span = e_lo - math.exp(-lam * d_hi)
+            inv_pairs = np.zeros((1, 2))
+        qb = self._qback
+        qmax = np.maximum.accumulate(qb)
+        qd2 = np.maximum.accumulate(qb * self._d_grid**2)
         return (
-            jnp.asarray(cdf, jnp.float32),
-            jnp.asarray(self._d_grid, jnp.float32),
-            jnp.asarray(self._qback, jnp.float32),
-            jnp.asarray(np.maximum.accumulate(self._qback), jnp.float32),
+            jnp.float32(lam),
+            jnp.float32(e_lo),
+            jnp.float32(e_span),
+            jnp.asarray(inv_pairs, jnp.float32),
+            jnp.asarray(np.column_stack([qb[:-1], qb[1:]]), jnp.float32),
             jnp.asarray(
-                np.maximum.accumulate(self._qback * self._d_grid**2),
+                np.column_stack([qmax[:-1], qmax[1:], qd2[:-1], qd2[1:]]),
                 jnp.float32,
             ),
         )
 
     # ---- fused augmentation kernel ----
 
-    def _augment_core(self, points, mask, key, alpha, density, cdf, d_grid,
-                      qback_grid, qmax_grid, qd2max_grid):
-        """points carry intensity on the LISA-normalized [0, 1] scale."""
+    def _augment_core(self, points, mask, key, alpha, density,
+                      lam_dsd, e_lo, e_span, inv_pairs, qb_pairs, cap_pairs):
+        """points carry intensity on the LISA-normalized [0, 1] scale.
+
+        Table args come from _dsd_tables; every lookup here is index
+        arithmetic + one row gather (no searchsorted — see _dsd_tables)."""
+        gm1 = float(self._d_grid.size - 1)
+
+        def mie_lookup(pairs, d_mm):
+            """Lerp packed knot-pair rows at diameter d_mm [mm]: pairs row i
+            holds (y_i..., y_{i+1}...) interleaved on the log-uniform grid;
+            returns one value per pair of columns."""
+            p = jnp.clip(
+                (jnp.log(d_mm) - self._log_d0) * self._inv_dlog, 0.0, gm1
+            )
+            i = jnp.minimum(p.astype(jnp.int32), int(gm1) - 1)
+            f = (p - i.astype(jnp.float32))[..., None]
+            rows = pairs[i]
+            return rows[..., 0::2] * (1.0 - f) + rows[..., 1::2] * f
+
+        if self.mode == "fog":
+            nq = inv_pairs.shape[0]
+
+            def dsd_inv_cdf(q):
+                p = jnp.clip(q, 0.0, 1.0) * nq
+                i = jnp.minimum(p.astype(jnp.int32), nq - 1)
+                f = p - i.astype(jnp.float32)
+                rows = inv_pairs[i]
+                return rows[..., 0] * (1.0 - f) + rows[..., 1] * f
+        else:
+
+            def dsd_inv_cdf(q):
+                # exact truncated-exponential inverse CDF (no table)
+                return -jnp.log(
+                    jnp.maximum(e_lo - jnp.clip(q, 0.0, 1.0) * e_span, 1e-38)
+                ) / lam_dsd
+
         bdiv = self.beam_divergence
         xyz = points[:, :3]
         intensity = points[:, 3]
@@ -250,7 +325,7 @@ class LISA:
             d[:, None] * jnp.minimum(t1, 1.0) ** (1.0 / 3.0), self.r_min
         )
         q1 = jax.random.uniform(kd, (n, k1))
-        dmm1 = jnp.interp(q1, cdf, d_grid)      # diameters ~ DSD, iid
+        dmm1 = dsd_inv_cdf(q1)                  # diameters ~ DSD, iid
 
         # --- the k2 LARGEST-DIAMETER droplets of the residual population
         # (r beyond the k1-th nearest): diameter order statistics via the
@@ -261,9 +336,7 @@ class LISA:
         h = jnp.cumsum(jax.random.exponential(kt, (n, k2)), axis=1)
         u2 = h / jnp.maximum(lam_res[:, None], 1e-30)
         live2 = live1[:, -1:] & (u2 < 1.0)
-        dmm2 = jnp.interp(
-            jnp.clip(1.0 - u2, 0.0, 1.0), cdf, d_grid
-        )
+        dmm2 = dsd_inv_cdf(1.0 - u2)
         v2 = jax.random.uniform(kp, (n, k2))
         t2 = t_last[:, None] + (1.0 - t_last[:, None]) * v2
         r2 = jnp.maximum(d[:, None] * t2 ** (1.0 / 3.0), self.r_min)
@@ -271,7 +344,7 @@ class LISA:
         r_drop = jnp.concatenate([r1, r2], axis=1)        # (n, k1+k2)
         d_mm = jnp.concatenate([dmm1, dmm2], axis=1)
         live = jnp.concatenate([live1, live2], axis=1)
-        qback = jnp.interp(d_mm, d_grid, qback_grid)
+        qback = mie_lookup(qb_pairs, d_mm)[..., 0]
 
         # droplet return: backscatter efficiency × beam-occlusion fraction,
         # two-way attenuated; occlusion = (D / beam width at r)² capped at 1
@@ -297,8 +370,8 @@ class LISA:
         # outcome — counted, never silent (host wrapper grows + reruns).
         rk = r1[:, -1]
         dm_tail = dmm2[:, -1]
-        q_cap = jnp.interp(dm_tail, d_grid, qmax_grid)
-        qd2_cap = jnp.interp(dm_tail, d_grid, qd2max_grid)
+        caps = mie_lookup(cap_pairs, dm_tail)
+        q_cap, qd2_cap = caps[..., 0], caps[..., 1]
         w_rk = 2.0 * rk * tan_h * 1e3
         p_bound = (
             jnp.minimum(q_cap, qd2_cap / jnp.maximum(w_rk, 1e-9) ** 2)
@@ -395,7 +468,7 @@ class LISA:
 
         alpha = self.alpha(Rr)
         density = self.droplet_density(Rr)
-        grids = self._dsd_inverse_cdf(Rr)
+        grids = self._dsd_tables(Rr)
         key = jax.random.PRNGKey(
             seed if fixed_seed else np.random.randint(2**31)
         )

@@ -39,9 +39,22 @@ class DatagenStats:
     attenuated: int = 0
     removed: int = 0
     wall_s: float = 0.0
+    # per-batch wall clocks {frames, s, compiles}: over the remote-TPU
+    # tunnel a fresh jit shape costs 40-260 s even with the persistent
+    # XLA cache warm, so end-to-end throughput is only interpretable with
+    # compile batches separated from steady-state batches
+    batches: list = dataclasses.field(default_factory=list)
 
     def as_dict(self):
         return dataclasses.asdict(self)
+
+    def steady_scans_per_sec(self):
+        """Throughput over batches that paid no compile; None if every
+        batch compiled."""
+        clean = [b for b in self.batches if not b["compiles"]]
+        frames = sum(b["frames"] for b in clean)
+        secs = sum(b["s"] for b in clean)
+        return (frames / secs) if secs > 0 else None
 
 
 def run_snowfall_datagen(
@@ -196,6 +209,8 @@ def run_snowfall_datagen(
     batches = [todo[i : i + batch] for i in range(0, len(todo), batch)]
     next_fut = io_pool.submit(_load_batch, batches[0]) if batches else None
 
+    fresh_step = True  # the next step(...) call will trace+compile
+
     for bi in range(len(batches)):
         raw, n_failed = next_fut.result()
         stats.frames_failed += n_failed
@@ -203,6 +218,9 @@ def run_snowfall_datagen(
             next_fut = io_pool.submit(_load_batch, batches[bi + 1])
         if not raw:
             continue
+        t_batch = time.time()
+        n_compiles = 1 if fresh_step else 0
+        fresh_step = False
         # scan capacity auto-grows like every other capacity: the reference
         # never drops points (precompute.py:96-106), so neither do we
         need = max(len(pc) for _, _, pc in raw)
@@ -216,6 +234,7 @@ def run_snowfall_datagen(
             snow_cfg = dataclasses.replace(snow_cfg, max_points=new_cap)
             step = build_step(snow_cfg)
             stats.capacity_growths += 1
+            n_compiles += 1
         pts_list, mask_list, ids = [], [], []
         for sid, out_path, pc in raw:
             padded = pad_cloud(pc, snow_cfg.max_points)
@@ -276,6 +295,7 @@ def run_snowfall_datagen(
             )
             snow_cfg = grown
             step = build_step(snow_cfg)
+            n_compiles += 1
         else:
             raise RuntimeError("datagen capacity overflows persisted")
         res = wet if wet is not None else snow
@@ -287,6 +307,10 @@ def run_snowfall_datagen(
             stats.points_out += len(aug)
             stats.attenuated += int(snow.num_attenuated[j])
             stats.removed += int(snow.num_removed[j])
+        stats.batches.append(
+            {"frames": len(ids), "s": round(time.time() - t_batch, 4),
+             "compiles": n_compiles}
+        )
 
     io_pool.shutdown(wait=False)
     stats.wall_s = time.time() - t_start

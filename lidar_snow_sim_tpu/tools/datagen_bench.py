@@ -112,13 +112,26 @@ def main(argv=None):
     frames_done = manifest["stats"]["frames_done"]
     import jax
 
+    # separate jit-compile batches from steady-state ones: over the remote
+    # tunnel a fresh shape costs 40-260 s even with the persistent XLA
+    # cache warm, which otherwise swamps a 200-frame run
+    b_rows = manifest["stats"].get("batches", [])
+    clean = [b for b in b_rows if not b["compiles"]]
+    steady_frames = sum(b["frames"] for b in clean)
+    steady_s = sum(b["s"] for b in clean)
+    compile_s = sum(b["s"] for b in b_rows if b["compiles"])
+
     report = {
         "metric": "datagen_end_to_end_scans_per_sec",
         "value": round(frames_done / wall, 2),
         "unit": "scans/s",
         "frames": frames_done,
         "wall_s": round(wall, 2),
-        "wall_s_excl_compile": None,  # see second_run below
+        "steady_scans_per_sec": (
+            round(steady_frames / steady_s, 2) if steady_s > 0 else None
+        ),
+        "steady_frames": steady_frames,
+        "compile_batches_s": round(compile_s, 2),
         "mean_points_per_scan": int(np.mean(n_points)),
         "batch": args.batch,
         "backend": jax.default_backend(),
