@@ -59,6 +59,69 @@ def batched_step(
     )(points, mask, bank, calib_arrays, orders, keys, snow_cfg, wet_cfg)
 
 
+IN_META_WIDTH = 3 + 64   # [n_points, key_hi, key_lo, order(64)]
+OUT_META_WIDTH = 12      # [n_keep, att, rem, avg_diff, 5 overflows,
+#                           wet_modified, wet_removed, wet_bailed]
+
+
+def datagen_packed_step(
+    points,   # (B, N, 5) f32
+    in_meta,  # (B, 3 + C) i32: [n_points, key_hi, key_lo, order(C)]
+    bank,
+    calib_arrays,
+    snow_cfg: SnowfallConfig,
+    wet_cfg: WetGroundConfig | None = None,
+):
+    """Transfer-minimal batched step for the offline-datagen driver.
+
+    The remote-TPU tunnel pays ~70 ms latency PER transferred buffer, so the
+    datagen host<->device surface is packed into exactly two arrays each
+    way. The boolean validity mask becomes `iota < n_points`, the PRNG key
+    and channel order ride the i32 meta row, and kept output rows are
+    compacted to the FRONT on device (stable argsort of ~keep — identical
+    row order to the host-side `points[keep]` boolean filter), so the host
+    reads `points_c[j, :n_keep[j]]` with no keep-plane fetch.
+
+    Returns (points_c (B, N, 5) f32, out_meta (B, 12) i32):
+    out_meta = [n_keep, num_attenuated, num_removed, avg_intensity_diff,
+    window/occluder/bump/channel/compact overflow, wet_modified,
+    wet_removed, wet_bailed] (wet columns zero when wet_cfg is None).
+    """
+    import jax.numpy as jnp
+
+    def one(pts, meta):
+        n = meta[0]
+        mask = jnp.arange(pts.shape[0], dtype=jnp.int32) < n
+        key = jax.lax.bitcast_convert_type(meta[1:3], jnp.uint32)
+        order = meta[3:]
+        snow, wet = snow_wet_step(
+            pts, mask, bank, calib_arrays, order, key, snow_cfg, wet_cfg
+        )
+        res = wet if wet is not None else snow
+        perm = jnp.argsort(~res.keep, stable=True)
+        points_c = res.points[perm]
+        out_meta = jnp.stack(
+            [
+                jnp.sum(res.keep.astype(jnp.int32)),
+                snow.num_attenuated,
+                snow.num_removed,
+                snow.avg_intensity_diff,
+                snow.window_overflow,
+                snow.occluder_overflow,
+                snow.bump_overflow,
+                snow.channel_overflow,
+                snow.compact_overflow,
+                wet.num_modified if wet is not None else jnp.int32(0),
+                wet.num_removed if wet is not None else jnp.int32(0),
+                (wet.bailed_out.astype(jnp.int32)
+                 if wet is not None else jnp.int32(0)),
+            ]
+        )
+        return points_c, out_meta
+
+    return jax.vmap(one)(points, in_meta)
+
+
 def make_sharded_step(mesh, snow_cfg, wet_cfg=None, donate: bool = False):
     """jit `batched_step` with (data, beam) shardings over `mesh`.
 
@@ -81,3 +144,21 @@ def make_sharded_step(mesh, snow_cfg, wet_cfg=None, donate: bool = False):
         in_shardings=(pts_s, mask_s, rep, rep, rep, rep),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_sharded_packed_step(mesh, snow_cfg, wet_cfg=None):
+    """jit `datagen_packed_step` with (data, beam) shardings over `mesh`
+    (same Pallas gating as make_sharded_step)."""
+    import dataclasses
+
+    if mesh.shape.get("beam", 1) > 1 and snow_cfg.use_pallas:
+        snow_cfg = dataclasses.replace(snow_cfg, use_pallas=False)
+    pts_s, mask_s, rep = batch_shardings(mesh)
+    del mask_s
+    meta_s = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")
+    )
+    fn = functools.partial(
+        datagen_packed_step, snow_cfg=snow_cfg, wet_cfg=wet_cfg
+    )
+    return jax.jit(fn, in_shardings=(pts_s, meta_s, rep, rep))

@@ -91,12 +91,11 @@ def run_snowfall_datagen(
     A `_manifest.json` with the run stats is written next to the outputs.
     """
     import jax
-    import jax.numpy as jnp
 
     from lidar_snow_sim_tpu.models.snowfall import calib_device_arrays
     from lidar_snow_sim_tpu.parallel.batched import (
-        batched_step,
-        make_sharded_step,
+        datagen_packed_step,
+        make_sharded_packed_step,
     )
     from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
 
@@ -115,17 +114,17 @@ def run_snowfall_datagen(
                     f"batch {batch} not divisible by mesh data axis "
                     f"{mesh.shape['data']}"
                 )
-            sharded = make_sharded_step(mesh, cfg, wet_cfg=wet_cfg)
-            return lambda p, m, o, k: sharded(
-                p, m, bank_dev, calib_arrays, o, k
-            )
+            sharded = make_sharded_packed_step(mesh, cfg, wet_cfg=wet_cfg)
+            return lambda p, meta: sharded(p, meta, bank_dev, calib_arrays)
         import functools
 
         jitted = jax.jit(
-            functools.partial(batched_step, snow_cfg=cfg, wet_cfg=wet_cfg)
+            functools.partial(
+                datagen_packed_step, snow_cfg=cfg, wet_cfg=wet_cfg
+            )
         )
-        return lambda p, m, o, k: jitted(
-            p, m, bank=bank_dev, calib_arrays=calib_arrays, orders=o, keys=k
+        return lambda p, meta: jitted(
+            p, meta, bank=bank_dev, calib_arrays=calib_arrays
         )
 
     step = build_step(snow_cfg)
@@ -133,16 +132,16 @@ def run_snowfall_datagen(
     _OVF = (
         "window_overflow", "occluder_overflow", "bump_overflow",
         "channel_overflow", "compact_overflow",
-    )
+    )  # out_meta columns 4..8, in this order (datagen_packed_step)
     k_ext = int(np.asarray(bank.angle).shape[1])
 
-    def grow_cfg(cfg, snow_res):
+    def grow_cfg(cfg, ovf_counts):
         """Double capacities behind any overflowed counter; None if stuck."""
         import dataclasses
 
         new = {}
-        for name in _OVF:
-            if not int(np.asarray(getattr(snow_res, name)).sum()):
+        for name, count in zip(_OVF, ovf_counts):
+            if not count:
                 continue
             if name == "window_overflow" and cfg.assembly == "dense":
                 grew_any = False
@@ -203,6 +202,40 @@ def run_snowfall_datagen(
             raw.append((sid, out_path, pc))
         return raw, n_failed
 
+    def make_args(raw, cfg):
+        """Pad + pack one batch into the 2-array device surface:
+        (points (B, N, 5) f32, in_meta (B, 3 + C) i32)."""
+        pts_list, ids = [], []
+        for sid, out_path, pc in raw:
+            pts_list.append(pad_cloud(pc, cfg.max_points).points)
+            ids.append((sid, out_path, len(pc)))
+        # pad the batch to full width so one compiled step serves every batch
+        n_list = [n for _, _, n in ids]
+        while len(pts_list) < batch:
+            pts_list.append(pts_list[-1])
+            n_list.append(0)
+
+        # Per-frame randomness is a pure function of (seed, sample id), NOT
+        # a position in a sequential stream — so outputs are byte-identical
+        # across resume-after-interruption, --shard layouts, and batch
+        # boundaries (the reference's unseeded shuffle has no such contract;
+        # SURVEY §4 pins it as injectable).
+        meta = np.zeros((batch, 3 + calib.num_lasers), np.int32)
+        for j in range(batch):
+            sid = ids[j][0] if j < len(ids) else f"_pad{j}"
+            r = np.random.default_rng([seed, zlib.crc32(sid.encode())])
+            order = (
+                r.permutation(calib.num_lasers)
+                if shuffle_channels
+                else np.arange(calib.num_lasers)
+            )
+            meta[j, 0] = n_list[j]
+            # key row = PRNGKey(s) raw data [hi, lo] = [0, s] for s < 2^31
+            meta[j, 2] = int(r.integers(2**31))
+            meta[j, 3:] = order
+        return (np.stack(pts_list), meta), ids
+
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     io_pool = ThreadPoolExecutor(max_workers=1)
@@ -210,6 +243,58 @@ def run_snowfall_datagen(
     next_fut = io_pool.submit(_load_batch, batches[0]) if batches else None
 
     fresh_step = True  # the next step(...) call will trace+compile
+    inflight: deque = deque()  # (ids, args, pending result, n_compiles)
+    t_mark = time.time()
+
+    def drain_one():
+        """Fetch the oldest in-flight batch, retry-on-overflow, write."""
+        nonlocal snow_cfg, step, t_mark
+        ids, args, out, n_compiles = inflight.popleft()
+        for _attempt in range(8):
+            points_c, out_meta = jax.device_get(out)
+            ovf = out_meta[:, 4:9].sum(axis=0)
+            if not ovf.any():
+                break
+            # capacities grow and the batch reruns: outputs are never
+            # silently truncated (same contract as SnowfallAugmenter)
+            grown = grow_cfg(snow_cfg, [int(c) for c in ovf])
+            if grown is None:
+                raise RuntimeError(
+                    "datagen capacity overflow not auto-resolvable: "
+                    + str(dict(zip(_OVF, (int(c) for c in ovf))))
+                )
+            logger.warning(
+                "datagen capacities grew: %s",
+                {k: getattr(grown, k) for k in (
+                    "slice_width", "max_occluders", "max_bumps",
+                    "channel_capacity", "compact_capacity")},
+            )
+            snow_cfg = grown
+            step = build_step(snow_cfg)
+            stats.capacity_growths += 1
+            n_compiles += 1
+            if args[0].shape[1] == snow_cfg.max_points:
+                out = step(*args)
+            else:  # max_points grew after this batch was dispatched
+                out = build_step(dataclasses.replace(
+                    snow_cfg, max_points=args[0].shape[1]
+                ))(*args)
+        else:
+            raise RuntimeError("datagen capacity overflows persisted")
+        for j, (sid, out_path, n_in) in enumerate(ids):
+            aug = points_c[j, : out_meta[j, 0]]
+            aug.astype(np.float32).tofile(out_path)
+            stats.frames_done += 1
+            stats.points_in += n_in
+            stats.points_out += len(aug)
+            stats.attenuated += int(out_meta[j, 1])
+            stats.removed += int(out_meta[j, 2])
+        now = time.time()
+        stats.batches.append(
+            {"frames": len(ids), "s": round(now - t_mark, 4),
+             "compiles": n_compiles}
+        )
+        t_mark = now
 
     for bi in range(len(batches)):
         raw, n_failed = next_fut.result()
@@ -218,7 +303,6 @@ def run_snowfall_datagen(
             next_fut = io_pool.submit(_load_batch, batches[bi + 1])
         if not raw:
             continue
-        t_batch = time.time()
         n_compiles = 1 if fresh_step else 0
         fresh_step = False
         # scan capacity auto-grows like every other capacity: the reference
@@ -235,82 +319,16 @@ def run_snowfall_datagen(
             step = build_step(snow_cfg)
             stats.capacity_growths += 1
             n_compiles += 1
-        pts_list, mask_list, ids = [], [], []
-        for sid, out_path, pc in raw:
-            padded = pad_cloud(pc, snow_cfg.max_points)
-            pts_list.append(padded.points)
-            mask_list.append(padded.mask)
-            ids.append((sid, out_path, len(pc)))
-        # pad the batch to full width so one compiled step serves every batch
-        while len(pts_list) < batch:
-            pts_list.append(pts_list[-1])
-            mask_list.append(np.zeros_like(mask_list[-1]))
-
-        # Per-frame randomness is a pure function of (seed, sample id), NOT
-        # a position in a sequential stream — so outputs are byte-identical
-        # across resume-after-interruption, --shard layouts, and batch
-        # boundaries (the reference's unseeded shuffle has no such contract;
-        # SURVEY §4 pins it as injectable).
-        frame_sids = [ids[j][0] if j < len(ids) else f"_pad{j}"
-                      for j in range(batch)]
-        frame_rngs = [
-            np.random.default_rng([seed, zlib.crc32(s.encode())])
-            for s in frame_sids
-        ]
-        orders = np.stack(
-            [
-                r.permutation(calib.num_lasers)
-                if shuffle_channels
-                else np.arange(calib.num_lasers)
-                for r in frame_rngs
-            ]
-        ).astype(np.int32)
-        keys = jnp.stack(
-            [jax.random.PRNGKey(int(r.integers(2**31))) for r in frame_rngs]
-        )
-
-        batch_args = (
-            np.stack(pts_list), np.stack(mask_list), np.asarray(orders), keys,
-        )
-        for _attempt in range(8):
-            snow, wet = jax.device_get(step(*batch_args))
-            if not any(
-                int(np.asarray(getattr(snow, n)).sum()) for n in _OVF
-            ):
-                break
-            # capacities grow and the batch reruns: outputs are never
-            # silently truncated (same contract as SnowfallAugmenter)
-            grown = grow_cfg(snow_cfg, snow)
-            if grown is None:
-                raise RuntimeError(
-                    "datagen capacity overflow not auto-resolvable: "
-                    + str({n: int(np.asarray(getattr(snow, n)).sum())
-                           for n in _OVF})
-                )
-            logger.warning(
-                "datagen capacities grew: %s",
-                {k: getattr(grown, k) for k in (
-                    "slice_width", "max_occluders", "max_bumps",
-                    "channel_capacity", "compact_capacity")},
-            )
-            snow_cfg = grown
-            step = build_step(snow_cfg)
-            n_compiles += 1
-        else:
-            raise RuntimeError("datagen capacity overflows persisted")
-        res = wet if wet is not None else snow
-        for j, (sid, out_path, n_in) in enumerate(ids):
-            aug = res.points[j][res.keep[j]]
-            aug.astype(np.float32).tofile(out_path)
-            stats.frames_done += 1
-            stats.points_in += n_in
-            stats.points_out += len(aug)
-            stats.attenuated += int(snow.num_attenuated[j])
-            stats.removed += int(snow.num_removed[j])
-        stats.batches.append(
-            {"frames": len(ids), "s": round(time.time() - t_batch, 4),
-             "compiles": n_compiles}
-        )
+        args, ids = make_args(raw, snow_cfg)
+        # depth-2 dispatch pipeline: enqueue this batch's (async) step before
+        # fetching the previous one, so the result download, the next upload,
+        # and the device compute overlap (the remote tunnel pays ~70 ms
+        # latency per transferred buffer — see datagen_packed_step)
+        inflight.append((ids, args, step(*args), n_compiles))
+        if len(inflight) >= 2:
+            drain_one()
+    while inflight:
+        drain_one()
 
     io_pool.shutdown(wait=False)
     stats.wall_s = time.time() - t_start
