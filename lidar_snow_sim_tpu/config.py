@@ -116,6 +116,14 @@ class SnowfallConfig:
     # chains double the ILP of the latency-bound masked-argmin loop);
     # requires an even chunk count, else falls back to single-chunk
     pallas_pair: bool = False
+    # TRANSPOSED phase-A layout: candidates on sublanes, points on lanes.
+    # The per-trip winner reductions become sublane reductions whose
+    # (1, blk) results are already in the a12d output layout — the
+    # row-major kernel instead pays three (blk,)->(1, blk) sublane->lane
+    # relayouts per extraction trip. Bit-identical outputs (same value
+    # sets through min / one-hot sums). Ignored when band_width > 0 or
+    # pallas_pair is set.
+    pallas_transposed: bool = False
     # same idea for the pulse kernel: count-bucketed compaction makes
     # adjacent blocks trip-count-homogeneous, so the shared max(trips)
     # is ~free there

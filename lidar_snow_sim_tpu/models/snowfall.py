@@ -673,10 +673,15 @@ def snowfall_augment_dense(
         feats_b = point_features(
             sx, sy, sz, cfg.beam_divergence_rad
         ).reshape(n_pad // blk, blk, -1)
+        transposed = cfg.pallas_transposed and not band and not cfg.pallas_pair
+        if transposed:
+            # (n_blocks, N_FEAT, blk): feature rows on sublanes, point
+            # lanes — the layout _kernel_t's relayout-free trips need
+            feats_b = feats_b.transpose(0, 2, 1)
         run = make_pallas_occluder_phase(
             blk=blk, w_sl=w_pallas, wide_cap=bank.wide_t.shape[2],
             k_occ=cfg.max_occluders, beam_rad=cfg.beam_divergence_rad,
-            interpret=cfg.pallas_interpret,
+            interpret=cfg.pallas_interpret, transposed=transposed,
             pair=cfg.pallas_pair and n_chunks % 2 == 0 and not band,
             band=band, band_group=cfg.band_group,
             # only the first wide_capacity wide lanes can hold real

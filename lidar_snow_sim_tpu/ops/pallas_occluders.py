@@ -204,6 +204,143 @@ def _kernel(
     jax.lax.fori_loop(0, block_k, body, score)
 
 
+def _prep_side_t(featT, candT, n_row, *, w_sl: int, k_occ: int):
+    """Transposed-layout `_prep_side`: candidates on SUBLANES, points on
+    LANES. featT is (N_FEAT, blk); candT is (C, N_PROP). All winner
+    reductions become sublane (axis-0) reductions whose (1, blk) results
+    are already in the a12d output layout, eliminating the three per-trip
+    (blk,) sublane->lane relayouts of the row-major kernel. The arithmetic
+    is identical ops over identical value sets (min / one-hot sums are
+    order-exact), so outputs are bit-identical to `_prep_side`."""
+    d_orig = featT[0:1, :]                            # (1, blk)
+    right = featT[1:2, :]
+    left = featT[2:3, :]
+    sin_r = featT[3:4, :]
+    cos_r = featT[4:5, :]
+    sin_l = featT[5:6, :]
+    cos_l = featT[6:7, :]
+    wrapped_beam = featT[7:8, :] > 0.5
+
+    px = candT[:, 0:1]                                # (C, 1)
+    py = candT[:, 1:2]
+    pr = candT[:, 2:3]
+    pdist = candT[:, 3:4]
+    pang = candT[:, 4:5]
+    halfw = candT[:, 5:6]
+
+    center_in = (right <= pang) & (pang <= left)
+    center_in |= wrapped_beam & (right - TWO_PI <= pang) & (pang <= left)
+    center_in |= wrapped_beam & (right <= pang) & (pang <= left + TWO_PI)
+
+    dist_r = jnp.abs(px * sin_r - py * cos_r)
+    dist_l = jnp.abs(px * sin_l - py * cos_l)
+    right_hit = (dist_r < pr) & (cos_r * px + sin_r * py > 0)
+    left_hit = (dist_l < pr) & (cos_l * px + sin_l * py > 0)
+
+    hit = (center_in | right_hit | left_hit) & (pdist < d_orig)  # (C, blk)
+
+    row_c1 = jax.lax.broadcasted_iota(jnp.int32, (hit.shape[0], 1), 0)
+    hit = hit & ((row_c1 >= w_sl) | (row_c1 < n_row))
+
+    a1_raw = pang - halfw
+    a1_raw = jnp.where(a1_raw < 0, a1_raw + TWO_PI, a1_raw)
+    a2_raw = pang + halfw
+    a2_raw = jnp.where(a2_raw > TWO_PI, a2_raw - TWO_PI, a2_raw)
+    a1 = jnp.where(right_hit, right, a1_raw)          # (C, blk)
+    a2 = jnp.where(left_hit, left, a2_raw)
+
+    n_hit = jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)  # (1, blk)
+    ovf = jnp.maximum(n_hit - k_occ, 0)
+
+    score = jnp.where(hit, jnp.broadcast_to(pdist, hit.shape), _BIG)
+    blk = score.shape[1]
+    a1b = jnp.broadcast_to(a1, (score.shape[0], blk))
+    a2b = jnp.broadcast_to(a2, (score.shape[0], blk))
+    block_k = jnp.minimum(jnp.max(n_hit), k_occ)
+    return score, a1b, a2b, ovf, block_k
+
+
+def _extract_step_t(k, score, row, a1b, a2b, out, s: int, k_occ: int):
+    """Transposed-layout `_extract_step`: one masked-argmin trip with
+    sublane reductions; winner rows land directly as (1, blk) lane
+    vectors."""
+    c = score.shape[0]
+    m = jnp.min(score, axis=0, keepdims=True)          # (1, blk)
+    eq = score == m
+    first = jnp.min(jnp.where(eq, row, c), axis=0, keepdims=True)
+    onehot = row == first
+    out[s, pl.ds(k, 1), :] = jnp.sum(
+        jnp.where(onehot, a1b, 0.0), axis=0, keepdims=True
+    )
+    out[s, pl.ds(k_occ + k, 1), :] = jnp.sum(
+        jnp.where(onehot, a2b, 0.0), axis=0, keepdims=True
+    )
+    out[s, pl.ds(2 * k_occ + k, 1), :] = m
+    return jnp.where(onehot, _BIG, score)
+
+
+def _kernel_t(
+    w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
+    rows_ref,      # (n_chunks,) i32, scalar-prefetch
+    los_ref,       # (n_chunks,) i32, scalar-prefetch
+    counts_ref,    # (C_banks,) i32, scalar-prefetch
+    feat_ref,      # (1, N_FEAT, blk) VMEM block (feature rows, point lanes)
+    bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
+    wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
+    a12d_out,      # (1, 3K, blk) merged [a1; a2; dist]
+    ovf_out,       # (1, 1, blk) i32
+    cand_scr,      # VMEM (N_PROP, W + Wc)
+    sems,          # DMA semaphores (2,)
+    *,
+    blk: int,
+    w_sl: int,
+    wide_cap: int,
+    k_occ: int,
+):
+    """Transposed-layout twin of `_kernel` (see `_prep_side_t`). The bank
+    slice still DMAs property-major ((N_PROP, C) — the HBM layout that
+    doesn't pad); one in-kernel (N_PROP, C)->(C, N_PROP) transpose buys
+    relayout-free extraction trips."""
+    i = pl.program_id(0)
+    row = rows_ref[i]
+    lo = pl.multiple_of(los_ref[i], 128)
+
+    slice_cp = pltpu.make_async_copy(
+        bank_ref.at[row, :, pl.ds(lo, w_sl)],
+        cand_scr.at[:, pl.ds(0, w_sl)],
+        sems.at[0],
+    )
+    wide_cp = pltpu.make_async_copy(
+        wide_ref.at[row], cand_scr.at[:, pl.ds(w_sl, wide_cap)], sems.at[1]
+    )
+    slice_cp.start()
+    wide_cp.start()
+    featT = feat_ref[0]                               # (N_FEAT, blk)
+    slice_cp.wait()
+    wide_cp.wait()
+    candT = cand_scr[:, :].T                          # (C, N_PROP)
+
+    score, a1b, a2b, ovf, block_k = _prep_side_t(
+        featT, candT, counts_ref[row], w_sl=w_sl, k_occ=k_occ,
+    )
+    ovf_out[0, :, :] = ovf
+    row_i = jax.lax.broadcasted_iota(
+        jnp.int32, (score.shape[0], score.shape[1]), 0
+    )
+
+    a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+        (2 * k_occ, blk), jnp.float32
+    )
+    a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+        (k_occ, blk), _BIG, jnp.float32
+    )
+
+    def body(k, score):
+        return _extract_step_t(k, score, row_i, a1b, a2b, a12d_out, 0, k_occ)
+
+    jax.lax.fori_loop(0, block_k, body, score)
+
+
 def _prep_banded(feat, cand, keep, *, k_occ: int):
     """Banded intersection test + interval computation.
 
@@ -496,6 +633,7 @@ def make_pallas_occluder_phase(
     *, blk: int, w_sl: int, wide_cap: int, k_occ: int, beam_rad: float,
     interpret: bool = False, pair: bool = False,
     band: int = 0, band_group: int = 8, wide_sl: int = 0,
+    transposed: bool = False,
 ):
     """Build the fused phase-A callable for fixed static shapes.
 
@@ -588,6 +726,10 @@ def make_pallas_occluder_phase(
         kernel = functools.partial(
             _kernel_pair, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
         )
+    elif transposed:
+        kernel = functools.partial(
+            _kernel_t, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
+        )
     else:
         kernel = functools.partial(
             _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
@@ -620,7 +762,8 @@ def make_pallas_occluder_phase(
             grid = (n_chunks,)
             feat_specs = [
                 pl.BlockSpec(
-                    (1, blk, N_FEAT), lambda i, w0b, *_: (w0b[i], 0, 0),
+                    (1, N_FEAT, blk) if transposed else (1, blk, N_FEAT),
+                    lambda i, w0b, *_: (w0b[i], 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ]

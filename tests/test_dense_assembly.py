@@ -97,11 +97,14 @@ def test_dense_channel_overflow_detected(setup):
     assert int(res.channel_overflow) > 0
 
 
-@pytest.mark.parametrize("band", [0, 256])
-def test_pallas_phase_matches_window(setup, band):
+@pytest.mark.parametrize(
+    "band,transposed", [(0, False), (256, False), (0, True)]
+)
+def test_pallas_phase_matches_window(setup, band, transposed):
     """The fused Pallas phase-A kernel (interpret mode on CPU) must keep the
-    dense path bit-identical to the window path — both the full-slice
-    (band=0) and the banded per-group variant."""
+    dense path bit-identical to the window path — the full-slice (band=0),
+    the banded per-group variant, and the transposed (points-on-lanes)
+    layout."""
     base = dict(
         max_points=8192, window_size=256, wide_capacity=64,
         max_occluders=48, max_bumps=24, point_chunk=256,
@@ -113,6 +116,7 @@ def test_pallas_phase_matches_window(setup, band):
             **base, assembly="dense", channel_capacity=128,
             block_points=32, slice_width=256, chunk_group=8,
             use_pallas=True, pallas_interpret=True, band_width=band,
+            pallas_transposed=transposed,
         ),
     )
     assert int(rp.window_overflow) == 0
