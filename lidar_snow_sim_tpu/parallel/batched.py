@@ -60,49 +60,81 @@ def batched_step(
 
 
 IN_META_WIDTH = 3 + 64   # [n_points, key_hi, key_lo, order(64)]
-OUT_META_WIDTH = 12      # [n_keep, att, rem, avg_diff, 5 overflows,
-#                           wet_modified, wet_removed, wet_bailed]
+OUT_META_WIDTH = 13      # [n_keep, att, rem, avg_diff, 5 overflows,
+#                           out_overflow, wet_modified, wet_removed,
+#                           wet_bailed]
 
 
 def datagen_packed_step(
-    points,   # (B, N, 5) f32
+    points,   # (B, N, 4) f32: x, y, z, intensity
+    chan,     # (B, N) u8: channel ids
     in_meta,  # (B, 3 + C) i32: [n_points, key_hi, key_lo, order(C)]
     bank,
     calib_arrays,
     snow_cfg: SnowfallConfig,
     wet_cfg: WetGroundConfig | None = None,
+    out_points: int | None = None,
 ):
     """Transfer-minimal batched step for the offline-datagen driver.
 
-    The remote-TPU tunnel pays ~70 ms latency PER transferred buffer, so the
-    datagen host<->device surface is packed into exactly two arrays each
-    way. The boolean validity mask becomes `iota < n_points`, the PRNG key
-    and channel order ride the i32 meta row, and kept output rows are
-    compacted to the FRONT on device (stable argsort of ~keep — identical
-    row order to the host-side `points[keep]` boolean filter), so the host
-    reads `points_c[j, :n_keep[j]]` with no keep-plane fetch.
+    The remote-TPU tunnel moves ~35 MB/s with ~70 ms latency per buffer
+    (measured; see BASELINE.md), so datagen steady-state is TRANSFER-bound
+    and every byte on the host<->device surface counts:
 
-    Returns (points_c (B, N, 5) f32, out_meta (B, 12) i32):
+    - Up: (B, N, 4) f32 coordinates+intensity, (B, N) u8 channel ids
+      (channel is 6 bits — carrying it as an f32 column wastes 3 bytes/pt),
+      and one (B, 3+C) i32 meta row (validity mask = `iota < n_points`,
+      PRNG key, channel order).
+    - Down: kept rows are compacted to the FRONT on device (stable argsort
+      of ~keep — identical row order to the host-side `points[keep]`
+      boolean filter) and only `out_points` rows travel (points removed by
+      the noise floor never earn their bytes back; overflow is COUNTED and
+      the driver grows the capacity — never a silent truncation). For
+      snowfall-only runs the output intensity column is integral
+      (`jnp.round`, simulation.py:516 semantics), so intensity and the
+      label column pack losslessly into one i32 plane
+      (`round(i) << 2 | label`, bitcast to f32) — 4 output columns, not 5.
+      Wet-ground intensities are floats (augmentation.py:126-147), so with
+      a `wet_cfg` the output stays 5-wide.
+
+    Returns (points_c (B, P, 4|5) f32, out_meta (B, 13) i32):
     out_meta = [n_keep, num_attenuated, num_removed, avg_intensity_diff,
-    window/occluder/bump/channel/compact overflow, wet_modified,
-    wet_removed, wet_bailed] (wet columns zero when wet_cfg is None).
+    window/occluder/bump/channel/compact overflow, out_overflow
+    (max(n_keep - P, 0)), wet_modified, wet_removed, wet_bailed]
+    (wet columns zero when wet_cfg is None).
     """
     import jax.numpy as jnp
 
-    def one(pts, meta):
-        n = meta[0]
-        mask = jnp.arange(pts.shape[0], dtype=jnp.int32) < n
+    n = points.shape[1]
+    p_out = out_points or n
+
+    def one(pts4, ch, meta):
+        n_pts = meta[0]
+        pts = jnp.concatenate(
+            [pts4, ch.astype(jnp.float32)[:, None]], axis=1
+        )
+        mask = jnp.arange(pts.shape[0], dtype=jnp.int32) < n_pts
         key = jax.lax.bitcast_convert_type(meta[1:3], jnp.uint32)
         order = meta[3:]
         snow, wet = snow_wet_step(
             pts, mask, bank, calib_arrays, order, key, snow_cfg, wet_cfg
         )
         res = wet if wet is not None else snow
-        perm = jnp.argsort(~res.keep, stable=True)
+        perm = jnp.argsort(~res.keep, stable=True)[:p_out]
         points_c = res.points[perm]
+        n_keep = jnp.sum(res.keep.astype(jnp.int32))
+        if wet_cfg is None:
+            packed = jax.lax.bitcast_convert_type(
+                (jnp.round(points_c[:, 3]).astype(jnp.int32) << 2)
+                | points_c[:, 4].astype(jnp.int32),
+                jnp.float32,
+            )
+            points_c = jnp.concatenate(
+                [points_c[:, :3], packed[:, None]], axis=1
+            )
         out_meta = jnp.stack(
             [
-                jnp.sum(res.keep.astype(jnp.int32)),
+                n_keep,
                 snow.num_attenuated,
                 snow.num_removed,
                 snow.avg_intensity_diff,
@@ -111,6 +143,7 @@ def datagen_packed_step(
                 snow.bump_overflow,
                 snow.channel_overflow,
                 snow.compact_overflow,
+                jnp.maximum(n_keep - p_out, 0),
                 wet.num_modified if wet is not None else jnp.int32(0),
                 wet.num_removed if wet is not None else jnp.int32(0),
                 (wet.bailed_out.astype(jnp.int32)
@@ -119,7 +152,7 @@ def datagen_packed_step(
         )
         return points_c, out_meta
 
-    return jax.vmap(one)(points, in_meta)
+    return jax.vmap(one)(points, chan, in_meta)
 
 
 def make_sharded_step(mesh, snow_cfg, wet_cfg=None, donate: bool = False):
@@ -146,19 +179,22 @@ def make_sharded_step(mesh, snow_cfg, wet_cfg=None, donate: bool = False):
     )
 
 
-def make_sharded_packed_step(mesh, snow_cfg, wet_cfg=None):
+def make_sharded_packed_step(mesh, snow_cfg, wet_cfg=None, out_points=None):
     """jit `datagen_packed_step` with (data, beam) shardings over `mesh`
-    (same Pallas gating as make_sharded_step)."""
+    (same Pallas gating as make_sharded_step); the (B, N) u8 channel plane
+    shards like the boolean mask."""
     import dataclasses
 
     if mesh.shape.get("beam", 1) > 1 and snow_cfg.use_pallas:
         snow_cfg = dataclasses.replace(snow_cfg, use_pallas=False)
-    pts_s, mask_s, rep = batch_shardings(mesh)
-    del mask_s
+    pts_s, chan_s, rep = batch_shardings(mesh)
     meta_s = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec("data")
     )
     fn = functools.partial(
-        datagen_packed_step, snow_cfg=snow_cfg, wet_cfg=wet_cfg
+        datagen_packed_step,
+        snow_cfg=snow_cfg,
+        wet_cfg=wet_cfg,
+        out_points=out_points,
     )
-    return jax.jit(fn, in_shardings=(pts_s, meta_s, rep, rep))
+    return jax.jit(fn, in_shardings=(pts_s, chan_s, meta_s, rep, rep))

@@ -71,6 +71,7 @@ def run_snowfall_datagen(
     overwrite: bool = False,
     mesh=None,
     wet_cfg=None,
+    out_frac: float = 0.8,
 ) -> DatagenStats:
     """Augment every sample id and write `{out_dir}/{id}.bin`.
 
@@ -88,6 +89,12 @@ def run_snowfall_datagen(
     reflectance is chained after snowfall on device (the viewer's snow+wet
     mode, pointcloud_viewer.py:2804-2840).
 
+    `out_frac` sizes the device->host output capacity as a fraction of
+    max_points (kept rows are compacted to the front on device; removed
+    points never travel back). A frame keeping more than the capacity is
+    COUNTED (out_overflow), the capacity grows to max_points, and the batch
+    reruns — outputs are never silently truncated.
+
     A `_manifest.json` with the run stats is written next to the outputs.
     """
     import jax
@@ -97,7 +104,6 @@ def run_snowfall_datagen(
         datagen_packed_step,
         make_sharded_packed_step,
     )
-    from lidar_snow_sim_tpu.utils.pointcloud import pad_cloud
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -107,39 +113,56 @@ def run_snowfall_datagen(
     calib_arrays = calib_device_arrays(calib)
     bank_dev = jax.device_put(bank)
 
-    def build_step(cfg):
+    def default_out_points(cfg):
+        cap = -(-int(out_frac * cfg.max_points) // 2048) * 2048
+        return min(cap, cfg.max_points)
+
+    out_points = default_out_points(snow_cfg)
+
+    def build_step(cfg, out_pts):
         if mesh is not None:
             if batch % mesh.shape["data"] != 0:
                 raise ValueError(
                     f"batch {batch} not divisible by mesh data axis "
                     f"{mesh.shape['data']}"
                 )
-            sharded = make_sharded_packed_step(mesh, cfg, wet_cfg=wet_cfg)
-            return lambda p, meta: sharded(p, meta, bank_dev, calib_arrays)
+            sharded = make_sharded_packed_step(
+                mesh, cfg, wet_cfg=wet_cfg, out_points=out_pts
+            )
+            return lambda p, ch, meta: sharded(
+                p, ch, meta, bank_dev, calib_arrays
+            )
         import functools
 
         jitted = jax.jit(
             functools.partial(
-                datagen_packed_step, snow_cfg=cfg, wet_cfg=wet_cfg
+                datagen_packed_step,
+                snow_cfg=cfg,
+                wet_cfg=wet_cfg,
+                out_points=out_pts,
             )
         )
-        return lambda p, meta: jitted(
-            p, meta, bank=bank_dev, calib_arrays=calib_arrays
+        return lambda p, ch, meta: jitted(
+            p, ch, meta, bank=bank_dev, calib_arrays=calib_arrays
         )
 
-    step = build_step(snow_cfg)
+    step = build_step(snow_cfg, out_points)
 
     _OVF = (
         "window_overflow", "occluder_overflow", "bump_overflow",
-        "channel_overflow", "compact_overflow",
-    )  # out_meta columns 4..8, in this order (datagen_packed_step)
+        "channel_overflow", "compact_overflow", "out_overflow",
+    )  # out_meta columns 4..9, in this order (datagen_packed_step)
     k_ext = int(np.asarray(bank.angle).shape[1])
 
     def grow_cfg(cfg, ovf_counts):
-        """Double capacities behind any overflowed counter; None if stuck."""
+        """Double capacities behind any overflowed counter.
+
+        Returns (new_cfg or None, new_out_points or None); (None, None)
+        means stuck."""
         import dataclasses
 
         new = {}
+        new_out = None
         for name, count in zip(_OVF, ovf_counts):
             if not count:
                 continue
@@ -154,13 +177,13 @@ def run_snowfall_datagen(
                     new["slice_width"] = min(cfg.slice_width * 2, k_ext)
                     grew_any = True
                 if not grew_any:
-                    return None
+                    return None, None
             elif name == "occluder_overflow":
                 new["max_occluders"] = cfg.max_occluders * 2
                 new["max_bumps"] = max(cfg.max_bumps, cfg.max_occluders * 2)
             elif name == "bump_overflow":
                 if cfg.max_bumps >= cfg.max_occluders:
-                    return None
+                    return None, None
                 new["max_bumps"] = min(cfg.max_bumps * 2, cfg.max_occluders)
             elif name == "channel_overflow":
                 new["channel_capacity"] = cfg.channel_capacity * 2
@@ -173,9 +196,15 @@ def run_snowfall_datagen(
                     cfg, calib.num_lasers
                 )
                 new["compact_capacity"] = cap * 2
+            elif name == "out_overflow":
+                if out_points >= cfg.max_points:
+                    return None, None
+                new_out = cfg.max_points  # one growth, then never again
             else:
-                return None
-        return dataclasses.replace(cfg, **new) if new else None
+                return None, None
+        if not new and new_out is None:
+            return None, None
+        return (dataclasses.replace(cfg, **new) if new else cfg), new_out
 
     todo = []
     for sid in sample_ids:
@@ -203,17 +232,24 @@ def run_snowfall_datagen(
         return raw, n_failed
 
     def make_args(raw, cfg):
-        """Pad + pack one batch into the 2-array device surface:
-        (points (B, N, 5) f32, in_meta (B, 3 + C) i32)."""
-        pts_list, ids = [], []
-        for sid, out_path, pc in raw:
-            pts_list.append(pad_cloud(pc, cfg.max_points).points)
+        """Pad + pack one batch into the 3-array device surface:
+        (points (B, N, 4) f32 [x,y,z,intensity], chan (B, N) u8,
+        in_meta (B, 3 + C) i32)."""
+        n_cap = cfg.max_points
+        pts = np.zeros((batch, n_cap, 4), np.float32)
+        chan = np.zeros((batch, n_cap), np.uint8)
+        ids = []
+        for j, (sid, out_path, pc) in enumerate(raw):
+            pts[j, : len(pc)] = pc[:, :4]
+            chan[j, : len(pc)] = pc[:, 4].astype(np.uint8)
             ids.append((sid, out_path, len(pc)))
-        # pad the batch to full width so one compiled step serves every batch
+        # pad short batches with copies of frame 0 (masked out via
+        # n_points=0) so tail frames carry well-conditioned data; one
+        # compiled step serves every batch
+        for j in range(len(raw), batch):
+            pts[j] = pts[0]
+            chan[j] = chan[0]
         n_list = [n for _, _, n in ids]
-        while len(pts_list) < batch:
-            pts_list.append(pts_list[-1])
-            n_list.append(0)
 
         # Per-frame randomness is a pure function of (seed, sample id), NOT
         # a position in a sequential stream — so outputs are byte-identical
@@ -229,60 +265,80 @@ def run_snowfall_datagen(
                 if shuffle_channels
                 else np.arange(calib.num_lasers)
             )
-            meta[j, 0] = n_list[j]
+            meta[j, 0] = n_list[j] if j < len(n_list) else 0
             # key row = PRNGKey(s) raw data [hi, lo] = [0, s] for s < 2^31
             meta[j, 2] = int(r.integers(2**31))
             meta[j, 3:] = order
-        return (np.stack(pts_list), meta), ids
+        return (pts, chan, meta), ids
+
+    def unpack_rows(rows):
+        """Invert the device-side (intensity << 2 | label) i32 bitcast pack
+        (snowfall-only runs; wet intensities are floats and travel as-is)."""
+        if wet_cfg is not None:
+            return rows
+        pk = np.ascontiguousarray(rows[:, 3]).view(np.int32)
+        out = np.empty((len(rows), 5), np.float32)
+        out[:, :3] = rows[:, :3]
+        out[:, 3] = (pk >> 2).astype(np.float32)
+        out[:, 4] = (pk & 3).astype(np.float32)
+        return out
 
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     io_pool = ThreadPoolExecutor(max_workers=1)
+    fetch_pool = ThreadPoolExecutor(max_workers=1)
     batches = [todo[i : i + batch] for i in range(0, len(todo), batch)]
     next_fut = io_pool.submit(_load_batch, batches[0]) if batches else None
 
     fresh_step = True  # the next step(...) call will trace+compile
-    inflight: deque = deque()  # (ids, args, pending result, n_compiles)
+    inflight: deque = deque()  # (ids, args, device_get future, n_compiles)
     t_mark = time.time()
 
     def drain_one():
         """Fetch the oldest in-flight batch, retry-on-overflow, write."""
-        nonlocal snow_cfg, step, t_mark
-        ids, args, out, n_compiles = inflight.popleft()
+        nonlocal snow_cfg, step, out_points, t_mark
+        ids, args, fut, n_compiles = inflight.popleft()
         for _attempt in range(8):
-            points_c, out_meta = jax.device_get(out)
-            ovf = out_meta[:, 4:9].sum(axis=0)
+            points_c, out_meta = fut.result()
+            ovf = out_meta[:, 4:10].sum(axis=0)
             if not ovf.any():
                 break
             # capacities grow and the batch reruns: outputs are never
             # silently truncated (same contract as SnowfallAugmenter)
-            grown = grow_cfg(snow_cfg, [int(c) for c in ovf])
+            grown, grown_out = grow_cfg(snow_cfg, [int(c) for c in ovf])
             if grown is None:
                 raise RuntimeError(
                     "datagen capacity overflow not auto-resolvable: "
                     + str(dict(zip(_OVF, (int(c) for c in ovf))))
                 )
+            if grown_out is not None:
+                out_points = grown_out
             logger.warning(
-                "datagen capacities grew: %s",
+                "datagen capacities grew: %s out_points=%d",
                 {k: getattr(grown, k) for k in (
                     "slice_width", "max_occluders", "max_bumps",
                     "channel_capacity", "compact_capacity")},
+                out_points,
             )
             snow_cfg = grown
-            step = build_step(snow_cfg)
+            step = build_step(snow_cfg, out_points)
             stats.capacity_growths += 1
             n_compiles += 1
             if args[0].shape[1] == snow_cfg.max_points:
                 out = step(*args)
             else:  # max_points grew after this batch was dispatched
-                out = build_step(dataclasses.replace(
-                    snow_cfg, max_points=args[0].shape[1]
-                ))(*args)
+                out = build_step(
+                    dataclasses.replace(
+                        snow_cfg, max_points=args[0].shape[1]
+                    ),
+                    min(out_points, args[0].shape[1]),
+                )(*args)
+            fut = fetch_pool.submit(jax.device_get, out)
         else:
             raise RuntimeError("datagen capacity overflows persisted")
         for j, (sid, out_path, n_in) in enumerate(ids):
-            aug = points_c[j, : out_meta[j, 0]]
+            aug = unpack_rows(points_c[j, : out_meta[j, 0]])
             aug.astype(np.float32).tofile(out_path)
             stats.frames_done += 1
             stats.points_in += n_in
@@ -316,21 +372,26 @@ def run_snowfall_datagen(
                 snow_cfg.max_points, new_cap, need,
             )
             snow_cfg = dataclasses.replace(snow_cfg, max_points=new_cap)
-            step = build_step(snow_cfg)
+            out_points = default_out_points(snow_cfg)
+            step = build_step(snow_cfg, out_points)
             stats.capacity_growths += 1
             n_compiles += 1
         args, ids = make_args(raw, snow_cfg)
-        # depth-2 dispatch pipeline: enqueue this batch's (async) step before
-        # fetching the previous one, so the result download, the next upload,
-        # and the device compute overlap (the remote tunnel pays ~70 ms
-        # latency per transferred buffer — see datagen_packed_step)
-        inflight.append((ids, args, step(*args), n_compiles))
+        # depth-2 dispatch pipeline with the result download on its own
+        # thread: the next batch's upload, the previous batch's download,
+        # and the device compute all overlap (the tunnel multiplexes
+        # concurrent transfers — measured wall ~= max, not sum; BASELINE.md)
+        inflight.append(
+            (ids, args, fetch_pool.submit(jax.device_get, step(*args)),
+             n_compiles)
+        )
         if len(inflight) >= 2:
             drain_one()
     while inflight:
         drain_one()
 
     io_pool.shutdown(wait=False)
+    fetch_pool.shutdown(wait=True)
     stats.wall_s = time.time() - t_start
     try:
         import json
