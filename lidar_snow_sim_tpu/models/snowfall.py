@@ -774,6 +774,7 @@ def snowfall_augment_dense(
                 feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
                 lo.astype(jnp.int32), bank.count.astype(jnp.int32),
                 bank.data_t, bank.wide_t,
+                has=has.astype(jnp.int32),         # dead-window kernel gate
             )                                      # (n_chunks, 3K, blk)
         # occluder validity is derivable from the merged dist plane: the
         # kernel writes dist = _BIG (3e38) for empty top-k slots and real

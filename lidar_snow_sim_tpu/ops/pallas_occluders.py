@@ -149,6 +149,8 @@ def _kernel(
     w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
     los_ref,       # (n_chunks,) i32, scalar-prefetch
+    has_ref,       # (n_chunks,) i32, scalar-prefetch: 1 if the chunk holds
+    #                any valid (in-channel) row, 0 for dead spill windows
     counts_ref,    # (C_banks,) i32, scalar-prefetch: narrow count per row
     feat_ref,      # (1, blk, N_FEAT) VMEM block
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY (ParticleBank.data_t)
@@ -168,40 +170,63 @@ def _kernel(
     row = rows_ref[i]
     lo = pl.multiple_of(los_ref[i], 128)  # caller aligns slice starts
 
-    slice_cp = pltpu.make_async_copy(
-        bank_ref.at[row, :, pl.ds(lo, w_sl)],
-        cand_scr.at[:, pl.ds(0, w_sl)],
-        sems.at[0],
-    )
-    wide_cp = pltpu.make_async_copy(
-        wide_ref.at[row], cand_scr.at[:, pl.ds(w_sl, wide_cap)], sems.at[1]
-    )
-    slice_cp.start()
-    wide_cp.start()
-    feat = feat_ref[0]                                # (blk, N_FEAT)
-    slice_cp.wait()
-    wide_cp.wait()
+    # DEAD chunks (~20% at bench shapes: window alignment + the one spill
+    # window per channel leave windows with no in-channel row) skip the
+    # DMAs, the intersection prep, and the extraction loop entirely. Every
+    # downstream consumer masks by valid_blk (occ_valid, occ_of), so the
+    # skipped outputs only need the dist-plane sentinel (and ovf zeros) the
+    # live path would have produced for hit-free rows — bit-identical.
+    @pl.when(has_ref[i] == 0)
+    def _dead():
+        a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+            (2 * k_occ, blk), jnp.float32
+        )
+        a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+            (k_occ, blk), _BIG, jnp.float32
+        )
+        ovf_out[0, 0, :] = jnp.zeros((blk,), jnp.int32)
 
-    score, a1b, a2b, ovf, block_k = _prep_side(
-        feat, cand_scr[:, :], counts_ref[row],
-        blk=blk, w_sl=w_sl, k_occ=k_occ,
-    )
-    ovf_out[0, 0, :] = ovf
-    col = jax.lax.broadcasted_iota(jnp.int32, (blk, score.shape[1]), 1)
+    @pl.when(has_ref[i] != 0)
+    def _live():
+        slice_cp = pltpu.make_async_copy(
+            bank_ref.at[row, :, pl.ds(lo, w_sl)],
+            cand_scr.at[:, pl.ds(0, w_sl)],
+            sems.at[0],
+        )
+        wide_cp = pltpu.make_async_copy(
+            wide_ref.at[row], cand_scr.at[:, pl.ds(w_sl, wide_cap)],
+            sems.at[1],
+        )
+        slice_cp.start()
+        wide_cp.start()
+        feat = feat_ref[0]                            # (blk, N_FEAT)
+        slice_cp.wait()
+        wide_cp.wait()
 
-    a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
-        (2 * k_occ, blk), jnp.float32
-    )
-    a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
-        (k_occ, blk), _BIG, jnp.float32
-    )
+        score, a1b, a2b, ovf, block_k = _prep_side(
+            feat, cand_scr[:, :], counts_ref[row],
+            blk=blk, w_sl=w_sl, k_occ=k_occ,
+        )
+        ovf_out[0, 0, :] = ovf
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (blk, score.shape[1]), 1
+        )
 
-    # Trip count is the block's max occluder count (occluders are sparse:
-    # typically <= 8 of K=24), with untaken slots pre-cleared.
-    def body(k, score):
-        return _extract_step(k, score, col, a1b, a2b, a12d_out, 0, k_occ)
+        a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+            (2 * k_occ, blk), jnp.float32
+        )
+        a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+            (k_occ, blk), _BIG, jnp.float32
+        )
 
-    jax.lax.fori_loop(0, block_k, body, score)
+        # Trip count is the block's max occluder count (occluders are
+        # sparse: typically <= 8 of K=24), with untaken slots pre-cleared.
+        def body(k, score):
+            return _extract_step(
+                k, score, col, a1b, a2b, a12d_out, 0, k_occ
+            )
+
+        jax.lax.fori_loop(0, block_k, body, score)
 
 
 def _prep_side_t(featT, candT, n_row, *, w_sl: int, k_occ: int):
@@ -735,8 +760,12 @@ def make_pallas_occluder_phase(
             _kernel, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,
         )
 
-    def run(feats_b, w0_blocks, rows, los, counts, bank_data_t, bank_wide_t):
+    def run(feats_b, w0_blocks, rows, los, counts, bank_data_t, bank_wide_t,
+            has=None):
         n_chunks = rows.shape[0]
+        gated = not pair and not transposed
+        if gated and has is None:
+            has = jnp.ones((n_chunks,), jnp.int32)
         if pair:
             assert n_chunks % 2 == 0, "pair=True needs an even chunk count"
             grid = (n_chunks // 2,)
@@ -774,7 +803,7 @@ def make_pallas_occluder_phase(
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5 if gated else 4,
             grid=grid,
             in_specs=feat_specs + [
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -792,6 +821,10 @@ def make_pallas_occluder_phase(
             ],
             scratch_shapes=scratch,
         )
+        prefetch = (
+            (w0_blocks, rows, los, has, counts) if gated
+            else (w0_blocks, rows, los, counts)
+        )
         a12d, ovf = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -806,7 +839,7 @@ def make_pallas_occluder_phase(
                 vmem_limit_bytes=(128 if pair else 64) * 1024 * 1024,
             ),
             interpret=interpret,
-        )(w0_blocks, rows, los, counts, *feat_args, bank_data_t, bank_wide_t)
+        )(*prefetch, *feat_args, bank_data_t, bank_wide_t)
         return a12d, ovf[:, 0, :]
 
     # NOTE: under vmap over a frame batch the scalar-prefetch pallas_call
