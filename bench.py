@@ -302,22 +302,35 @@ def main():
 
             chain_j = jax.jit(chain)
 
-            def run(n):
+            def run(n, reps=2):
                 ks = jnp.stack(
                     [jax.random.split(jax.random.PRNGKey(50 + i), batch)
                      for i in range(n)]
                 )
-                t0 = time.time()
-                np.asarray(chain_j(carry0, ks))  # value fetch = completion
-                return time.time() - t0
+                ts = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    np.asarray(chain_j(carry0, ks))  # value fetch = done
+                    ts.append(time.time() - t0)
+                return min(ts)  # min damps tunnel stalls
 
+            # the fastest models (STF fog ~0.07 ms/scan) need LONG chains:
+            # with a fixed short/long pair the total delta can be smaller
+            # than the tunnel's per-call RPC jitter and the slope goes
+            # negative — grow the long chain until the delta clears a noise
+            # floor (each growth pays one extra scan-chain compile)
             short, long_ = 2, 2 + iters
-            run(short)
-            run(long_)
-            dt = (run(long_) - run(short)) / (long_ - short)
+            t_short = run(short)
+            while True:
+                dt_tot = run(long_) - t_short
+                if dt_tot > 0.4 or long_ >= 2048:
+                    break
+                long_ = 2 + (long_ - 2) * 4
+            dt = max(dt_tot, 1e-9) / (long_ - short)
             return dict(
                 scans_per_sec=round(batch / dt, 1),
-                ms_per_scan=round(dt / batch * 1e3, 3),
+                ms_per_scan=round(dt / batch * 1e3, 4),
+                chain=long_,
             )
 
         carry_b = jnp.broadcast_to(pts0, (batch,) + pts0.shape)

@@ -24,8 +24,9 @@ import numpy as np
 MIN_DIST = 3.0  # the viewer's hard minimum distance (pointcloud_viewer.py)
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+def add_pipeline_args(ap):
+    """Scan + mask + augmentation arguments shared by the headless
+    inspector and the browser viewer (tools/viewer.py)."""
     ap.add_argument("scan", help=".bin scan (N x 5 float32)")
     ap.add_argument(
         "--augment",
@@ -50,15 +51,46 @@ def main(argv=None):
     ap.add_argument("--fov", action="store_true", help="camera-FOV filter")
     ap.add_argument("--max-dist", type=float, default=None)
     ap.add_argument("--min-height", type=float, default=None)
+    ap.add_argument("--labels", default=None,
+                    help="KITTI-format GT/prediction label file to overlay")
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    add_pipeline_args(ap)
     ap.add_argument("--bev", default=None, help="write a BEV PNG here")
     ap.add_argument("--bev-color", default="label",
                     choices=("depth", "intensity", "label", "channel",
                              "height"))
-    ap.add_argument("--labels", default=None,
-                    help="KITTI-format GT/prediction label file to overlay")
-    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    pc, report, boxes = run_pipeline(args, ap)
 
+    if args.bev:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from lidar_snow_sim_tpu.utils.render import bev_image
+
+        img = bev_image(pc, color=args.bev_color)
+        if boxes:
+            from lidar_snow_sim_tpu.utils.boxes import draw_boxes_bev
+
+            draw_boxes_bev(img, boxes)
+        plt.imsave(args.bev, img)
+        report["bev"] = str(Path(args.bev).resolve())
+
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def run_pipeline(args, ap):
+    """DROR -> FOV -> masks -> augmentation -> stats (the `show_pointcloud`
+    orchestration, pointcloud_viewer.py:2651-3051). Returns
+    (pc (N, 5), report dict, boxes list)."""
     from lidar_snow_sim_tpu.utils.pointcloud import load_velodyne_bin
     from lidar_snow_sim_tpu.utils.render import (
         augmentation_stat_labels,
@@ -184,24 +216,7 @@ def main(argv=None):
             for i, b in enumerate(boxes)
         ]
 
-    if args.bev:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        from lidar_snow_sim_tpu.utils.render import bev_image
-
-        img = bev_image(pc, color=args.bev_color)
-        if boxes:
-            from lidar_snow_sim_tpu.utils.boxes import draw_boxes_bev
-
-            draw_boxes_bev(img, boxes)
-        plt.imsave(args.bev, img)
-        report["bev"] = str(Path(args.bev).resolve())
-
-    print(json.dumps(report, indent=2))
-    return 0
+    return pc, report, boxes
 
 
 if __name__ == "__main__":

@@ -1,0 +1,313 @@
+"""Interactive browser point-cloud viewer — the Qt viewer without Qt.
+
+Covers the interactive-browsing half of the reference `LidarWindow`
+(`pointcloud_viewer.py:236-3403`) that `tools/inspect.py` (the headless
+half) does not: it runs the same DROR -> FOV -> masks -> augmentation
+pipeline and writes ONE self-contained HTML file with an orbitable 3-D
+point rendering — no Qt, no OpenGL stack, no network (all JS inline, the
+points embedded as base64 Float32Array). Open the file in any browser:
+
+- drag to orbit, wheel to zoom, shift-drag to pan
+- color modes: label / intensity / height / channel / depth
+  (`pointcloud_viewer.py:3155-3231` get_colors equivalents; label colors
+  match the reference convention 0=unchanged, 1=attenuated/modified,
+  2=scattered)
+- GT/prediction box wireframes (KITTI label files, `--labels`)
+- the augmentation stat labels and log string the Qt viewer shows
+  (`pointcloud_viewer.py:2823-2830,3122-3153`)
+- point-size and decimation controls
+
+Example:
+  python -m lidar_snow_sim_tpu.tools.viewer scan.bin --augment snow \
+      --bank-dir banks --rate 2.5 --velocity 1.6 --out scan.html
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import html
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+# Colors as JS expressions over normalized v in [0, 1] are computed in
+# Python instead: each mode bakes an (N,) palette index into a u8 array and
+# ships a 256-entry RGB palette — 1 byte/point/mode instead of 3.
+_LABEL_RGB = np.array(
+    [
+        [200, 200, 200],   # 0 unchanged (the viewer's neutral gray)
+        [66, 135, 245],    # 1 attenuated / modified ground (blue)
+        [235, 64, 52],     # 2 scattered by snow (red)
+    ],
+    np.uint8,
+)
+
+
+def _turbo256() -> np.ndarray:
+    """256-entry turbo-ish palette (matches utils.render._turbo_ish)."""
+    from lidar_snow_sim_tpu.utils.render import _turbo_ish
+
+    v = np.linspace(0.0, 1.0, 256, dtype=np.float32)
+    return (_turbo_ish(v) * 255).astype(np.uint8)
+
+
+def _norm_idx(v: np.ndarray, lo=None, hi=None) -> np.ndarray:
+    lo = np.min(v) if lo is None else lo
+    hi = np.max(v) if hi is None else hi
+    if hi <= lo:
+        return np.zeros(len(v), np.uint8)
+    return np.clip((v - lo) / (hi - lo) * 255, 0, 255).astype(np.uint8)
+
+
+def color_planes(pc: np.ndarray) -> dict:
+    """u8 palette-index planes for every color mode (get_colors parity:
+    label, intensity [0,255], height, channel, depth)."""
+    dist = np.linalg.norm(pc[:, :3], axis=1)
+    return {
+        "label": np.clip(pc[:, 4], 0, 2).astype(np.uint8),
+        "intensity": _norm_idx(pc[:, 3], 0.0, 255.0),
+        "height": _norm_idx(pc[:, 2], -2.5, 2.5),
+        "channel": _norm_idx(pc[:, 4], 0.0, 63.0),
+        "depth": _norm_idx(dist, 0.0, max(80.0, float(dist.max(initial=1)))),
+    }
+
+
+def _b64(arr: np.ndarray) -> str:
+    return base64.b64encode(np.ascontiguousarray(arr).tobytes()).decode()
+
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>lidar_snow_sim_tpu viewer</title>
+<style>
+ body {{ margin:0; background:#101014; color:#ddd;
+        font:13px/1.4 system-ui, sans-serif; }}
+ #hud {{ position:fixed; top:8px; left:8px; background:rgba(16,16,20,.85);
+        padding:8px 10px; border-radius:6px; max-width:360px; }}
+ #hud b {{ color:#fff; }}
+ canvas {{ display:block; cursor:grab; }}
+ select,input {{ background:#222; color:#ddd; border:1px solid #444; }}
+ .stat {{ margin:1px 0; white-space:pre; }}
+</style></head><body>
+<canvas id="c"></canvas>
+<div id="hud">
+ <div><b>{title}</b></div>
+ <div>color <select id="mode">{mode_options}</select>
+  size <input id="psz" type="range" min="1" max="4" value="1"
+   style="width:70px">
+  boxes <input id="bx" type="checkbox" checked></div>
+ {stats_html}
+ <div class="stat" style="color:#888">drag orbit / wheel zoom /
+ shift-drag pan</div>
+</div>
+<script>
+"use strict";
+const N = {n_points};
+function f32(b64) {{
+  const s = atob(b64); const a = new Uint8Array(s.length);
+  for (let i = 0; i < s.length; i++) a[i] = s.charCodeAt(i);
+  return new Float32Array(a.buffer);
+}}
+function u8(b64) {{
+  const s = atob(b64); const a = new Uint8Array(s.length);
+  for (let i = 0; i < s.length; i++) a[i] = s.charCodeAt(i);
+  return a;
+}}
+const X = f32("{xs}"), Y = f32("{ys}"), Z = f32("{zs}");
+const MODES = {modes_json};
+const PALETTES = {palettes_json};
+const IDX = Object.fromEntries(MODES.map(m => [m, u8(COLOR_B64[m])]));
+const BOXES = {boxes_json};  // each: 8 corners x [x,y,z]
+
+const cv = document.getElementById("c");
+const ctx = cv.getContext("2d");
+let yaw = -2.2, pitch = 0.9, zoom = 9.0, panx = 0, pany = 0;
+let mode = MODES[0], psz = 1, showBoxes = true;
+
+function resize() {{
+  cv.width = innerWidth; cv.height = innerHeight; draw();
+}}
+addEventListener("resize", resize);
+
+function draw() {{
+  const w = cv.width, h = cv.height;
+  const img = ctx.createImageData(w, h);
+  const d = img.data;
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const f = Math.min(w, h) * zoom / 100.0;
+  const cxp = w / 2 + panx, cyp = h / 2 + pany;
+  const idx = IDX[mode]; const pal = PALETTES[mode];
+  for (let i = 0; i < N; i++) {{
+    const x0 = X[i], y0 = Y[i], z0 = Z[i];
+    const x1 = cy * x0 + sy * y0;
+    const y1 = -sy * x0 + cy * y0;
+    const z2 = cp * z0 - sp * y1;
+    const y2 = sp * z0 + cp * y1 + 120;       // camera distance
+    if (y2 <= 1) continue;
+    const px = (cxp + f * x1 / y2 * 50) | 0;
+    const py = (cyp - f * z2 / y2 * 50) | 0;
+    if (px < 0 || py < 0 || px >= w || py >= h) continue;
+    const ci = idx[i] * 3;
+    for (let dy = 0; dy < psz; dy++) for (let dx = 0; dx < psz; dx++) {{
+      const qx = px + dx, qy = py + dy;
+      if (qx >= w || qy >= h) continue;
+      const o = (qy * w + qx) * 4;
+      d[o] = pal[ci]; d[o + 1] = pal[ci + 1]; d[o + 2] = pal[ci + 2];
+      d[o + 3] = 255;
+    }}
+  }}
+  ctx.putImageData(img, 0, 0);
+  if (showBoxes && BOXES.length) {{
+    ctx.strokeStyle = "#3cf06c"; ctx.lineWidth = 1.2;
+    const E = [[0,1],[1,2],[2,3],[3,0],[4,5],[5,6],[6,7],[7,4],
+               [0,4],[1,5],[2,6],[3,7]];
+    for (const box of BOXES) {{
+      const pts = box.map(([x0, y0, z0]) => {{
+        const x1 = cy * x0 + sy * y0;
+        const y1 = -sy * x0 + cy * y0;
+        const z2 = cp * z0 - sp * y1;
+        const y2 = sp * z0 + cp * y1 + 120;
+        return y2 > 1 ? [cxp + f * x1 / y2 * 50, cyp - f * z2 / y2 * 50]
+                      : null;
+      }});
+      ctx.beginPath();
+      for (const [a, b] of E) {{
+        if (!pts[a] || !pts[b]) continue;
+        ctx.moveTo(pts[a][0], pts[a][1]);
+        ctx.lineTo(pts[b][0], pts[b][1]);
+      }}
+      ctx.stroke();
+    }}
+  }}
+}}
+
+let drag = null;
+cv.addEventListener("mousedown", e => {{
+  drag = [e.clientX, e.clientY, e.shiftKey]; cv.style.cursor = "grabbing";
+}});
+addEventListener("mouseup", () => {{ drag = null; cv.style.cursor="grab"; }});
+addEventListener("mousemove", e => {{
+  if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  if (drag[2]) {{ panx += dx; pany += dy; }}
+  else {{
+    yaw += dx * 0.008;
+    pitch = Math.max(0.05, Math.min(1.55, pitch + dy * 0.008));
+  }}
+  drag = [e.clientX, e.clientY, drag[2]];
+  requestAnimationFrame(draw);
+}});
+cv.addEventListener("wheel", e => {{
+  zoom = Math.max(1.0, Math.min(120, zoom * (e.deltaY < 0 ? 1.12 : 0.89)));
+  e.preventDefault(); requestAnimationFrame(draw);
+}}, {{ passive: false }});
+document.getElementById("mode").addEventListener("change", e => {{
+  mode = e.target.value; draw();
+}});
+document.getElementById("psz").addEventListener("input", e => {{
+  psz = +e.target.value; draw();
+}});
+document.getElementById("bx").addEventListener("change", e => {{
+  showBoxes = e.target.checked; draw();
+}});
+resize();
+</script></body></html>
+"""
+
+
+def write_viewer_html(
+    pc: np.ndarray,
+    out_path: str | Path,
+    *,
+    title: str = "scan",
+    stats: dict | None = None,
+    boxes=None,
+    max_points: int = 200_000,
+) -> Path:
+    """Render (N, 5) points to a self-contained interactive HTML file."""
+    if len(pc) > max_points:
+        # deterministic stride decimation keeps the spatial distribution
+        step = -(-len(pc) // max_points)
+        pc = pc[::step]
+    planes = color_planes(pc)
+    turbo = _turbo256()
+    palettes = {
+        "label": _LABEL_RGB.tolist(),
+        "intensity": turbo.tolist(),
+        "height": turbo.tolist(),
+        "channel": turbo.tolist(),
+        "depth": turbo.tolist(),
+    }
+    modes = list(planes.keys())
+    stats = stats or {}
+    stats_html = "".join(
+        f'<div class="stat">{html.escape(str(k))}: '
+        f"{html.escape(str(v))}</div>"
+        for k, v in stats.items()
+    )
+    color_b64 = json.dumps({m: _b64(planes[m]) for m in modes})
+    corners = [
+        np.round(b.corners(), 3).tolist() for b in (boxes or [])
+    ]
+    page = _PAGE.format(
+        title=html.escape(title),
+        n_points=len(pc),
+        xs=_b64(pc[:, 0].astype(np.float32)),
+        ys=_b64(pc[:, 1].astype(np.float32)),
+        zs=_b64(pc[:, 2].astype(np.float32)),
+        modes_json=json.dumps(modes),
+        palettes_json=json.dumps(palettes),
+        boxes_json=json.dumps(corners),
+        mode_options="".join(
+            f'<option value="{m}">{m}</option>' for m in modes
+        ),
+        stats_html=stats_html,
+    )
+    # COLOR_B64 is injected before the script uses it
+    page = page.replace(
+        'const IDX = Object.fromEntries',
+        f"const COLOR_B64 = {color_b64};\nconst IDX = Object.fromEntries",
+    )
+    out_path = Path(out_path)
+    out_path.write_text(page)
+    return out_path
+
+
+def main(argv=None):
+    from lidar_snow_sim_tpu.tools.inspect import (
+        add_pipeline_args,
+        run_pipeline,
+    )
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    add_pipeline_args(ap)
+    ap.add_argument("--out", default="viewer.html",
+                    help="output HTML file")
+    ap.add_argument("--max-points", type=int, default=200_000,
+                    help="decimate above this many points")
+    args = ap.parse_args(argv)
+
+    pc, report, boxes = run_pipeline(args, ap)
+
+    stats = {"points": len(pc), "log": report.get("log", "")}
+    for key in ("snow", "wet", "lisa", "fog", "stf_fog", "dror", "labels"):
+        if key in report:
+            stats[key] = report[key]
+    out = write_viewer_html(
+        pc,
+        args.out,
+        title=f"{Path(args.scan).name} [{args.augment}]",
+        stats=stats,
+        boxes=boxes,
+        max_points=args.max_points,
+    )
+    report["viewer_html"] = str(out.resolve())
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -185,3 +185,42 @@ def test_precompute_full_reference_grid(tmp_path, calib):
         manifest = json.loads((p / "_manifest.json").read_text())
         st = manifest["stats"]
         assert st["frames_done"] + st["frames_skipped"] == 2
+
+
+def test_viewer_html(tmp_path, calib):
+    """The browser viewer writes a self-contained interactive HTML with the
+    decoded point payload, every color mode, stat labels, and GT box
+    wireframes (the Qt viewer's browsing surface, pointcloud_viewer.py:
+    236-3403, without Qt)."""
+    import base64
+    import re
+
+    from lidar_snow_sim_tpu.tools.viewer import main as viewer_main
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    pc = synthetic_scan(n_azimuth=120, seed=3, calib=calib)
+    scan = tmp_path / "scan.bin"
+    pc.astype(np.float32).tofile(scan)
+    labels = tmp_path / "labels.txt"
+    labels.write_text(
+        "Car 0 0 0 0 0 50 50 1.5 1.6 3.9 1.0 1.0 20.0 0.1\n"
+    )
+    out = tmp_path / "v.html"
+    assert viewer_main(
+        [str(scan), "--out", str(out), "--labels", str(labels),
+         "--max-points", "5000"]
+    ) == 0
+    s = out.read_text()
+    # decodable point payload, decimated under the cap
+    xs = re.search(r'const X = f32\("([^"]+)"\)', s).group(1)
+    x = np.frombuffer(base64.b64decode(xs), np.float32)
+    assert 0 < len(x) <= 5000
+    assert f"const N = {len(x)}" in s
+    # all five get_colors modes, the box wireframe, the stat labels
+    for mode in ("label", "intensity", "height", "channel", "depth"):
+        assert f'<option value="{mode}">' in s
+    assert "const BOXES" in s and s.count("[[") >= 1
+    assert "points" in s and "drag orbit" in s
+    # brace-balanced script (the template is .format()-escaped JS)
+    js = s[s.index("<script>"):]
+    assert js.count("{") == js.count("}")
