@@ -135,13 +135,15 @@ def _extract_step(k, score, col, a1b, a2b, out, s: int, k_occ: int):
     eq = score == m
     first = jnp.min(jnp.where(eq, col, c), axis=1, keepdims=True)
     onehot = col == first
-    out[s, pl.ds(k, 1), :] = jnp.sum(
+    blk = score.shape[0]
+    c0 = s * blk  # pair kernel: side s's lane columns of the (3K, 2*blk) block
+    out[pl.ds(k, 1), pl.ds(c0, blk)] = jnp.sum(
         jnp.where(onehot, a1b, 0.0), axis=1
     )[None, :]
-    out[s, pl.ds(k_occ + k, 1), :] = jnp.sum(
+    out[pl.ds(k_occ + k, 1), pl.ds(c0, blk)] = jnp.sum(
         jnp.where(onehot, a2b, 0.0), axis=1
     )[None, :]
-    out[s, pl.ds(2 * k_occ + k, 1), :] = m[:, 0][None, :]
+    out[pl.ds(2 * k_occ + k, 1), pl.ds(c0, blk)] = m[:, 0][None, :]
     return jnp.where(onehot, _BIG, score)
 
 
@@ -155,8 +157,9 @@ def _kernel(
     feat_ref,      # (1, blk, N_FEAT) VMEM block
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY (ParticleBank.data_t)
     wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY (ParticleBank.wide_t)
-    a12d_out,      # (1, 3K, blk) merged [a1; a2; dist] — K on the sublane
-    #                axis so each k-step writes contiguous lane rows
+    a12d_out,      # (3K, blk) block of the (3K, n_chunks*blk) output —
+    #                K OUTER: the downstream compaction gather's (3K, n2)
+    #                layout directly, no XLA transpose copy
     ovf_out,       # (1, 1, blk) i32
     cand_scr,      # VMEM (N_PROP, W + Wc)
     sems,          # DMA semaphores (2,)
@@ -178,10 +181,10 @@ def _kernel(
     # live path would have produced for hit-free rows — bit-identical.
     @pl.when(has_ref[i] == 0)
     def _dead():
-        a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+        a12d_out[pl.ds(0, 2 * k_occ), :] = jnp.zeros(
             (2 * k_occ, blk), jnp.float32
         )
-        a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+        a12d_out[pl.ds(2 * k_occ, k_occ), :] = jnp.full(
             (k_occ, blk), _BIG, jnp.float32
         )
         ovf_out[0, 0, :] = jnp.zeros((blk,), jnp.int32)
@@ -212,10 +215,10 @@ def _kernel(
             jnp.int32, (blk, score.shape[1]), 1
         )
 
-        a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+        a12d_out[pl.ds(0, 2 * k_occ), :] = jnp.zeros(
             (2 * k_occ, blk), jnp.float32
         )
-        a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+        a12d_out[pl.ds(2 * k_occ, k_occ), :] = jnp.full(
             (k_occ, blk), _BIG, jnp.float32
         )
 
@@ -294,13 +297,15 @@ def _extract_step_t(k, score, row, a1b, a2b, out, s: int, k_occ: int):
     eq = score == m
     first = jnp.min(jnp.where(eq, row, c), axis=0, keepdims=True)
     onehot = row == first
-    out[s, pl.ds(k, 1), :] = jnp.sum(
+    blk = score.shape[1]
+    c0 = s * blk
+    out[pl.ds(k, 1), pl.ds(c0, blk)] = jnp.sum(
         jnp.where(onehot, a1b, 0.0), axis=0, keepdims=True
     )
-    out[s, pl.ds(k_occ + k, 1), :] = jnp.sum(
+    out[pl.ds(k_occ + k, 1), pl.ds(c0, blk)] = jnp.sum(
         jnp.where(onehot, a2b, 0.0), axis=0, keepdims=True
     )
-    out[s, pl.ds(2 * k_occ + k, 1), :] = m
+    out[pl.ds(2 * k_occ + k, 1), pl.ds(c0, blk)] = m
     return jnp.where(onehot, _BIG, score)
 
 
@@ -353,10 +358,10 @@ def _kernel_t(
         jnp.int32, (score.shape[0], score.shape[1]), 0
     )
 
-    a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+    a12d_out[pl.ds(0, 2 * k_occ), :] = jnp.zeros(
         (2 * k_occ, blk), jnp.float32
     )
-    a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+    a12d_out[pl.ds(2 * k_occ, k_occ), :] = jnp.full(
         (k_occ, blk), _BIG, jnp.float32
     )
 
@@ -428,7 +433,7 @@ def _kernel_banded(
     # lane->sublane shape cast to broadcast per group)
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
     wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
-    a12d_out,      # (1, 3K, blk) merged [a1; a2; dist]
+    a12d_out,      # (3K, blk) block merged [a1; a2; dist] (K outer)
     ovf_out,       # (1, 2, blk) i32: [occluder overflow; uncovered]
     slice_scr,     # VMEM (N_PROP, W_chunk)
     wide_scr,      # VMEM (N_PROP, Wc)
@@ -550,10 +555,10 @@ def _kernel_banded(
     ovf_out[0, 0:1, :] = ovf.reshape(1, blk)
     ovf_out[0, 1:2, :] = unc.reshape(1, blk)
 
-    a12d_out[0, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+    a12d_out[pl.ds(0, 2 * k_occ), :] = jnp.zeros(
         (2 * k_occ, blk), jnp.float32
     )
-    a12d_out[0, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+    a12d_out[pl.ds(2 * k_occ, k_occ), :] = jnp.full(
         (k_occ, blk), _BIG, jnp.float32
     )
 
@@ -564,13 +569,13 @@ def _kernel_banded(
         eq = score == m
         first = jnp.min(jnp.where(eq, col3, c), axis=2, keepdims=True)
         onehot = col3 == first
-        a12d_out[0, pl.ds(k, 1), :] = jnp.sum(
+        a12d_out[pl.ds(k, 1), :] = jnp.sum(
             jnp.where(onehot, a1b, 0.0), axis=2
         ).reshape(1, blk)
-        a12d_out[0, pl.ds(k_occ + k, 1), :] = jnp.sum(
+        a12d_out[pl.ds(k_occ + k, 1), :] = jnp.sum(
             jnp.where(onehot, a2b, 0.0), axis=2
         ).reshape(1, blk)
-        a12d_out[0, pl.ds(2 * k_occ + k, 1), :] = m[:, :, 0].reshape(1, blk)
+        a12d_out[pl.ds(2 * k_occ + k, 1), :] = m[:, :, 0].reshape(1, blk)
         return jnp.where(onehot, _BIG, score)
 
     jax.lax.fori_loop(0, block_k, body, score)
@@ -585,7 +590,7 @@ def _kernel_pair(
     feat_b_ref,    # (1, blk, N_FEAT) VMEM block of chunk 2i + 1
     bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
     wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
-    a12d_out,      # (2, 3K, blk) merged [a1; a2; dist]
+    a12d_out,      # (3K, 2*blk) block merged [a1; a2; dist] (K outer)
     ovf_out,       # (2, 1, blk) i32
     cand_scr,      # VMEM (2, N_PROP, W + Wc)
     sems,          # DMA semaphores (4,)
@@ -631,10 +636,10 @@ def _kernel_pair(
             blk=blk, w_sl=w_sl, k_occ=k_occ,
         )
         ovf_out[s, 0, :] = ovf
-        a12d_out[s, pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+        a12d_out[pl.ds(0, 2 * k_occ), pl.ds(s * blk, blk)] = jnp.zeros(
             (2 * k_occ, blk), jnp.float32
         )
-        a12d_out[s, pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+        a12d_out[pl.ds(2 * k_occ, k_occ), pl.ds(s * blk, blk)] = jnp.full(
             (k_occ, blk), _BIG, jnp.float32
         )
         sides.append((score, a1b, a2b, block_k))
@@ -663,15 +668,21 @@ def make_pallas_occluder_phase(
     """Build the fused phase-A callable for fixed static shapes.
 
     The returned function takes (feats_b, w0_blocks, rows, los, counts,
-    bank_data_t, bank_wide_t) and returns (a12d, overflow) shaped
-    ((n_chunks, 3K, blk), (n_chunks, blk)) — rows [0,K) = a1, [K,2K) = a2,
-    [2K,3K) = dist, K-MAJOR with blk on the lane dim; occluder validity is
+    bank_data_t, bank_wide_t[, has]) and returns (a12d, overflow) shaped
+    ((3K, n_chunks * blk), (n_chunks, blk)) — rows [0,K) = a1, [K,2K) = a2,
+    [2K,3K) = dist, K OUTER with blk on the lane dim; occluder validity is
     dist < 1e37. One merged array (instead of a1/a2/dist/valid separately)
     keeps the downstream compaction gather to ONE launch — three separate
     (cap, K) gathers were ~0.94 ms each — and drops the per-trip valid-row
-    store. Transposing to (..., blk, 3K) here would materialize arrays
-    whose minor dim pads to 128 lanes (HBM waste at n2 scale); callers
-    should gather first and transpose at compact scale.
+    store. K outer means `reshape(3K, n_chunks * blk)` is free, so the
+    former per-step (n_chunks, 3K, blk) -> (3K, n2) transpose copy
+    (0.73 ms/step) disappears. Transposing to (..., blk, 3K) would
+    materialize arrays whose minor dim pads to 128 lanes (HBM waste at n2
+    scale); callers should gather first and transpose at compact scale.
+
+    `has` (i32 (n_chunks,), default all-live) gates the whole kernel body
+    per chunk: dead spill windows (no in-channel row) skip the DMAs, the
+    prep, and the extraction loop (~20% of chunks at bench shapes).
 
     feats_b is `point_features` over the (channel, azimuth)-SORTED point
     order, reshaped (n_pad // blk, blk, F); chunk i reads feature block
@@ -715,7 +726,7 @@ def make_pallas_occluder_phase(
                 ],
                 out_specs=[
                     pl.BlockSpec(
-                        (1, 3 * k_occ, blk), lambda i, *_: (i, 0, 0),
+                        (3 * k_occ, blk), lambda i, *_: (0, i),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
@@ -734,7 +745,7 @@ def make_pallas_occluder_phase(
                 grid_spec=grid_spec,
                 out_shape=[
                     jax.ShapeDtypeStruct(
-                        (n_chunks, 3 * k_occ, blk), jnp.float32
+                        (3 * k_occ, n_chunks * blk), jnp.float32
                     ),
                     jax.ShapeDtypeStruct((n_chunks, 2, blk), jnp.int32),
                 ],
@@ -811,7 +822,7 @@ def make_pallas_occluder_phase(
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (blk0, 3 * k_occ, blk), lambda i, *_: (i, 0, 0),
+                    (3 * k_occ, blk0 * blk), lambda i, *_: (0, i),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -830,7 +841,7 @@ def make_pallas_occluder_phase(
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(
-                    (n_chunks, 3 * k_occ, blk), jnp.float32
+                    (3 * k_occ, n_chunks * blk), jnp.float32
                 ),
                 jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
             ],
