@@ -56,6 +56,17 @@ class DatagenStats:
         secs = sum(b["s"] for b in clean)
         return (frames / secs) if secs > 0 else None
 
+    def steady_median_scans_per_sec(self):
+        """Median per-batch throughput over compile-free batches — robust
+        to the remote tunnel's multi-second RPC stalls (BASELINE.md), which
+        land on individual batches and skew the mean."""
+        clean = [b["frames"] / b["s"] for b in self.batches
+                 if not b["compiles"] and b["s"] > 0]
+        if not clean:
+            return None
+        clean.sort()
+        return clean[len(clean) // 2]
+
 
 def run_snowfall_datagen(
     sample_ids: Sequence[str],
@@ -72,6 +83,7 @@ def run_snowfall_datagen(
     mesh=None,
     wet_cfg=None,
     out_frac: float = 0.8,
+    pipeline_depth: int = 3,
 ) -> DatagenStats:
     """Augment every sample id and write `{out_dir}/{id}.bin`.
 
@@ -292,18 +304,39 @@ def run_snowfall_datagen(
     next_fut = io_pool.submit(_load_batch, batches[0]) if batches else None
 
     fresh_step = True  # the next step(...) call will trace+compile
-    inflight: deque = deque()  # (ids, args, device_get future, n_compiles)
+    cfg_gen = 0        # bumped on every capacity growth
+    inflight: deque = deque()  # (ids, args, get future, n_compiles, gen)
     t_mark = time.time()
+
+    def rerun(args):
+        """Re-dispatch a batch under the CURRENT config (handles a batch
+        whose max_points predates a later growth)."""
+        if args[0].shape[1] == snow_cfg.max_points:
+            out = step(*args)
+        else:
+            out = build_step(
+                dataclasses.replace(snow_cfg, max_points=args[0].shape[1]),
+                min(out_points, args[0].shape[1]),
+            )(*args)
+        return fetch_pool.submit(jax.device_get, out)
 
     def drain_one():
         """Fetch the oldest in-flight batch, retry-on-overflow, write."""
-        nonlocal snow_cfg, step, out_points, t_mark
-        ids, args, fut, n_compiles = inflight.popleft()
+        nonlocal snow_cfg, step, out_points, cfg_gen, t_mark
+        ids, args, fut, n_compiles, gen = inflight.popleft()
         for _attempt in range(8):
             points_c, out_meta = fut.result()
             ovf = out_meta[:, 4:10].sum(axis=0)
             if not ovf.any():
                 break
+            if gen != cfg_gen:
+                # dispatched with a STALE config that a previous batch's
+                # overflow already grew past: retry under the current one
+                # before growing again (otherwise every stale in-flight
+                # batch doubles the already-grown capacity once more)
+                gen = cfg_gen
+                fut = rerun(args)
+                continue
             # capacities grow and the batch reruns: outputs are never
             # silently truncated (same contract as SnowfallAugmenter)
             grown, grown_out = grow_cfg(snow_cfg, [int(c) for c in ovf])
@@ -325,16 +358,9 @@ def run_snowfall_datagen(
             step = build_step(snow_cfg, out_points)
             stats.capacity_growths += 1
             n_compiles += 1
-            if args[0].shape[1] == snow_cfg.max_points:
-                out = step(*args)
-            else:  # max_points grew after this batch was dispatched
-                out = build_step(
-                    dataclasses.replace(
-                        snow_cfg, max_points=args[0].shape[1]
-                    ),
-                    min(out_points, args[0].shape[1]),
-                )(*args)
-            fut = fetch_pool.submit(jax.device_get, out)
+            cfg_gen += 1
+            gen = cfg_gen
+            fut = rerun(args)
         else:
             raise RuntimeError("datagen capacity overflows persisted")
         for j, (sid, out_path, n_in) in enumerate(ids):
@@ -383,9 +409,12 @@ def run_snowfall_datagen(
         # concurrent transfers — measured wall ~= max, not sum; BASELINE.md)
         inflight.append(
             (ids, args, fetch_pool.submit(jax.device_get, step(*args)),
-             n_compiles)
+             n_compiles, cfg_gen)
         )
-        if len(inflight) >= 2:
+        # pipeline_depth batches stay in flight so a multi-second tunnel
+        # stall on one batch's download is absorbed instead of serializing
+        # the whole chain behind it
+        if len(inflight) >= max(pipeline_depth, 1):
             drain_one()
     while inflight:
         drain_one()

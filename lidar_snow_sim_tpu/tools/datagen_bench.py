@@ -84,6 +84,36 @@ def main(argv=None):
             )
     t_banks = time.time() - t_banks
 
+    # --- tunnel transfer probe: datagen steady-state is TRANSFER-bound
+    # over the remote-TPU tunnel (the bench slope deliberately excludes
+    # per-batch transfers), so the report carries the SAME-SESSION measured
+    # put/get bandwidth and the resulting transfer-bound ceiling — the
+    # number steady_scans_per_sec should be judged against. On local PCIe
+    # (>8 GB/s) the same transfers are <2% of the device step.
+    import jax
+
+    def _probe_tunnel(nbytes=8 << 20, reps=3):
+        dev = jax.devices()[0]
+        a = np.random.default_rng(0).random(nbytes // 4, np.float32)
+        puts, gets = [], []
+        add = jax.jit(lambda v, s: v + s)
+        x = jax.device_put(a, dev)
+        np.asarray(add(x, 1.0))  # pay the first-fetch stall outside timing
+        for i in range(reps):
+            t0 = time.time()
+            x = jax.device_put(a + i, dev)
+            x.block_until_ready()
+            t1 = time.time()
+            np.asarray(add(x, float(i)))  # fresh result -> uncached fetch
+            t2 = time.time()
+            puts.append(nbytes / (t1 - t0) / 1e6)
+            gets.append(nbytes / (t2 - t1) / 1e6)
+        puts.sort(), gets.sort()
+        return {"put_mb_s": round(puts[reps // 2], 1),
+                "get_mb_s": round(gets[reps // 2], 1)}
+
+    tunnel = _probe_tunnel()
+
     # --- the measured run: the real CLI over a clean output tree ---
     out_root = root / "out"
     if out_root.exists():
@@ -110,7 +140,6 @@ def main(argv=None):
     )
     manifest = json.loads((out_dir / "_manifest.json").read_text())
     frames_done = manifest["stats"]["frames_done"]
-    import jax
 
     # separate jit-compile batches from steady-state ones: over the remote
     # tunnel a fresh shape costs 40-260 s even with the persistent XLA
@@ -120,6 +149,19 @@ def main(argv=None):
     steady_frames = sum(b["frames"] for b in clean)
     steady_s = sum(b["s"] for b in clean)
     compile_s = sum(b["s"] for b in b_rows if b["compiles"])
+    rates = sorted(
+        b["frames"] / b["s"] for b in clean if b["s"] > 0
+    )
+
+    # transfer-bound ceiling at the probed bandwidth: bytes/frame on the
+    # packed surface (parallel/batched.datagen_packed_step)
+    n_cap = max(n_points)
+    up_bytes = n_cap * (4 * 4 + 1) + 67 * 4
+    out_cap = min(-(-int(0.8 * n_cap) // 2048) * 2048, n_cap)
+    down_bytes = out_cap * 4 * (5 if args.wet else 4)
+    ceiling = 1e6 / (
+        up_bytes / tunnel["put_mb_s"] + down_bytes / tunnel["get_mb_s"]
+    )
 
     report = {
         "metric": "datagen_end_to_end_scans_per_sec",
@@ -130,8 +172,14 @@ def main(argv=None):
         "steady_scans_per_sec": (
             round(steady_frames / steady_s, 2) if steady_s > 0 else None
         ),
+        "steady_median_scans_per_sec": (
+            round(rates[len(rates) // 2], 2) if rates else None
+        ),
         "steady_frames": steady_frames,
         "compile_batches_s": round(compile_s, 2),
+        "tunnel": tunnel,
+        "transfer_bound_ceiling_scans_per_sec": round(ceiling, 1),
+        "transfer_bytes_per_frame": up_bytes + down_bytes,
         "mean_points_per_scan": int(np.mean(n_points)),
         "batch": args.batch,
         "backend": jax.default_backend(),
