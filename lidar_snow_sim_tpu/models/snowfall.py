@@ -973,17 +973,22 @@ def snowfall_augment_dense(
         # shapes — small gathers pay per-index overhead, so one launch over
         # 3K rows costs ~one launch, not three)
         km = occ_a12d                          # already K-outer (3K, n2)
-        gm = km[:, ci].T                                   # (cap, 3K)
-        c_a1 = gm[:, :k_occ]
-        c_a2 = gm[:, k_occ : 2 * k_occ]
-        c_rr = gm[:, 2 * k_occ :]
+        # STAY K-outer at compact scale too: the former (cap, 3K)/(cap, K)
+        # planes put K on the minor dim, which pads 5.3x under TPU (8, 128)
+        # tiling — both as HBM temps (several 0.7 ms staging fusions per
+        # step) and as VMEM tiles inside the pulse kernel (24 of 128 lanes
+        # used by every sweep op). The pulse kernel consumes (K, cap).
+        gm = km[:, ci]                                     # (3K, cap)
+        c_a1 = gm[:k_occ]
+        c_a2 = gm[k_occ : 2 * k_occ]
+        c_rr = gm[2 * k_occ :]
         # validity is derivable from the gathered ranges: the kernel writes
         # dist = _BIG (3e38) for empty top-k slots and real ranges are
         # < lidar_range, so a valid K-plane gather is redundant. The
         # per-point valid_blk mask needs no re-apply here — compaction
         # (any_occ over the MASKED occ_valid) only admits valid points,
         # whose kernel dist column equals dist < _BIG exactly.
-        c_occ_valid = (c_rr < 1e37) & c_ok[:, None]
+        c_occ_valid = (c_rr < 1e37) & c_ok[None, :]
     else:
         c_ch = ci // pch          # channel of slot i is i // pch (C, pch)
         valid_flat = slot_valid.reshape(n2)
@@ -1029,13 +1034,13 @@ def snowfall_augment_dense(
         c_min, c_fs, c_fo, c_max = (
             c_lut[:, 0], c_lut[:, 1], c_lut[:, 2], c_lut[:, 3]
         )
-        feats = jnp.stack([c_d, c_right, c_left, 0.9 * c_max], axis=-1)
-        c_valid_f = c_occ_valid.astype(jnp.float32)
-        # occluder properties stay SEPARATE (cap, K) planes: stacking them
-        # on a trailing size-5/2 axis makes that axis the HBM minormost dim,
-        # which pads 128x under (8, 128) tiling (3 GB of temps at batch 16)
+        feats = jnp.stack([c_d, c_right, c_left, 0.9 * c_max], axis=0)
+        c_valid_f = c_occ_valid.astype(jnp.float32)        # (K, cap)
+        # occluder properties stay SEPARATE K-OUTER (K, cap) planes: a
+        # trailing K (or stacked size-5/2) axis would be the HBM minormost
+        # dim and pad 5.3x/128x under (8, 128) tiling
         phase = (2.0 * jnp.pi / c_tau)
-        all_r = jnp.concatenate([c_rr, c_d[:, None]], axis=1)  # (cap, K+1)
+        all_r = jnp.concatenate([c_rr, c_d[None, :]], axis=0)  # (K+1, cap)
         cos_b = jnp.cos(phase * all_r)
         sin_b = jnp.sin(phase * all_r)
         gph = phase * range_grid
@@ -1045,10 +1050,9 @@ def snowfall_augment_dense(
             interpret=cfg.pallas_interpret,
             pair=cfg.pulse_pair and (cap // pblk) % 2 == 0,
         )
-        pb = lambda a: a.reshape((cap // pblk, pblk) + a.shape[1:])
         i_peak, peak_idx, touched_any, _rem = run_pulse(
-            pb(feats), pb(c_a1), pb(c_a2), pb(c_rr), pb(c_valid_f),
-            pb(cos_b), pb(sin_b), jnp.cos(gph), jnp.sin(gph)
+            feats, c_a1, c_a2, c_rr, c_valid_f,
+            cos_b, sin_b, jnp.cos(gph), jnp.sin(gph)
         )
         i_peak = i_peak.reshape(cap)
         peak_idx = peak_idx.reshape(cap)

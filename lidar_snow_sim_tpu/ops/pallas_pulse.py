@@ -10,6 +10,23 @@ Per compacted occluded point this fuses:
    quantized grid (ops/waveform.py semantics, angle-addition form), with the
    occluder-bump loop stopping at the block's last active bump.
 
+EVERYTHING IS TRANSPOSED: points ride the LANE axis. Inputs are K-OUTER
+(rows, cap) planes — a1/a2/rr/valid (K, cap), phase factors (K+1, cap),
+features (F, cap) — consumed as (rows, blk) blocks, so
+
+- the XLA staging never materializes (cap, K) arrays whose 24-wide minor
+  dim pads 5.3x under TPU (8, 128) tiling (the former layout cost several
+  0.7 ms fusions per step writing padded HBM temps), and
+- the sweep state is (K, blk) / (M_e, blk): VMEM tiles are fully dense,
+  where the old (blk, K) layout used 24 of 128 lanes (81% of every vector
+  op wasted). The waveform accumulates as (M_bins, blk) with bins on
+  sublanes; peak/argmax become sublane reductions whose (1, blk) results
+  land directly in the output rows.
+
+All reductions are min/max/one-hot-sum over identical value sets, so
+outputs are bit-identical to the row-major formulation (and the window
+path) — verified by tests/test_dense_assembly.py.
+
 Mosaic has no sin/cos lowering here either, so the per-bump phase factors
 cos/sin(2 pi r / ctau) and the xsi ramp are computed OUTSIDE in XLA and
 passed as inputs; the kernel is transcendental-free.
@@ -38,14 +55,129 @@ TWO_PI = 2.0 * math.pi
 _BIG = 3.0e38
 
 
+def _side_state(feat, a1, a2, rr, valid, *, blk, k_occ, beam_rad, ipm,
+                c_tau, xsi_r1, xsi_r2):
+    """Pre-loop sweep state + post-sweep waveform inputs for one block.
+
+    feat is (F, blk) rows [d_orig, right, left, amp_scale]; a1/a2/rr are
+    (K, blk); valid is (K, blk) bool. Returns (endpoints (M_e, blk),
+    a1_adj, a2_adj, valid, trips, finish) where finish(claimed, unclaimed)
+    computes (rr_all (K+1, blk), amp_all, last_active, touched (1, blk),
+    remainder (1, blk)).
+    """
+    d_orig = feat[0:1, :]                                 # (1, blk)
+    right = feat[1:2, :]
+    left = feat[2:3, :]
+    amp_scale = feat[3:4, :]
+
+    wrapped = right > left
+    right_u = jnp.where(wrapped, right - TWO_PI, right)
+    a1 = jnp.where(wrapped & (a1 > a2), a1 - TWO_PI, a1)
+    a1 = jnp.where(valid, a1, jnp.broadcast_to(left, a1.shape))
+    a2 = jnp.where(valid, a2, jnp.broadcast_to(left, a2.shape))
+
+    endpoints = jnp.concatenate([right_u, left, a1, a2], axis=0)  # (M_e, blk)
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=0)            # (blk,)
+    m_e = 2 * k_occ + 2
+    trips = jnp.minimum(2 * jnp.max(n_valid) + 3, m_e)
+
+    def finish(claimed, unclaimed):
+        ratio = jnp.clip(claimed / beam_rad, 0.0, 1.0)     # (K, blk)
+        remainder = jnp.clip(unclaimed / beam_rad, 0.0, 1.0)  # (1, blk)
+        touched = jnp.any(claimed > 0.0, axis=0, keepdims=True)
+
+        def xsi(r):
+            return jnp.clip((r - xsi_r1) / (xsi_r2 - xsi_r1), 0.0, 1.0)
+
+        rr_all = jnp.concatenate([rr, d_orig], axis=0)     # (K+1, blk)
+        share = jnp.concatenate([ratio, remainder], axis=0)
+        # share == 0 zeroes the bump; clamp r so 1/r^2 of filler occluders
+        # (dist ~ 3e38) cannot produce 0 * inf = NaN
+        r_amp = jnp.clip(rr_all, 1e-6, 1e6)
+        amp_all = amp_scale * share * xsi(r_amp) / (r_amp * r_amp)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (k_occ, ratio.shape[1]), 0)
+        last_active = jnp.max(jnp.where(ratio > 0.0, row_k + 1, 0))
+        return rr_all, amp_all, last_active, touched, remainder
+
+    return endpoints, a1, a2, valid, trips, finish
+
+
+def _sweep_step(k, carry, a1, a2, valid, row_k, k_occ):
+    """One extract-min sweep trip in (K, blk) layout: retire ALL copies of
+    the current minimum endpoint; claim the elementary sub-interval for the
+    first (nearest) covering occluder."""
+    score, prev, claimed, unclaimed = carry
+    cur = jnp.min(score, axis=0, keepdims=True)            # (1, blk)
+    live = cur < _BIG / 2                                  # row not done
+    width = jnp.where((k > 0) & live, cur - prev, 0.0)     # (1, blk)
+    mid = 0.5 * (cur + prev)
+    cover_k = (a1 <= mid) & (mid <= a2) & valid            # (K, blk)
+    widx = jnp.min(
+        jnp.where(cover_k, row_k, k_occ), axis=0, keepdims=True
+    )
+    claimed = claimed + jnp.where(row_k == widx, width, 0.0)
+    unclaimed = unclaimed + jnp.where(widx >= k_occ, width, 0.0)
+    score = jnp.where(score == cur, _BIG, score)
+    prev = jnp.where(live, cur, prev)
+    return score, prev, claimed, unclaimed
+
+
+def _sweep_init(endpoints, blk, k_occ):
+    return (
+        endpoints,
+        jnp.zeros((1, blk), jnp.float32),
+        jnp.zeros((k_occ, blk), jnp.float32),
+        jnp.zeros((1, blk), jnp.float32),
+    )
+
+
+def _make_wave_fns(cosg_ref, sing_ref, blk, k_occ, ipm, c_tau):
+    """Waveform helpers in (M_bins, blk) layout: bins on SUBLANES, points
+    on LANES — every per-point bump parameter is a (1, blk) lane row, so no
+    relayouts enter the accumulation loop."""
+    cos_g = cosg_ref[0][:, None]                           # (M, 1)
+    sin_g = sing_ref[0][:, None]
+    m_bins = cos_g.shape[0]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (m_bins, 1), 0).astype(
+        jnp.float32
+    )
+
+    def bump_wave(r_b, amp_b, cb, sb):
+        # r_b/amp_b/cb/sb: (1, blk); result (M, blk)
+        window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
+        pulse = 0.5 * (1.0 - (cos_g * cb + sin_g * sb))
+        return jnp.where(window, amp_b * pulse, 0.0)
+
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (k_occ + 1, blk), 0)
+
+    def wave_side(b, wave, rr_all, amp_all, cb_all, sb_all):
+        sel = row_b == b
+        pick = lambda v: jnp.sum(
+            jnp.where(sel, v, 0.0), axis=0, keepdims=True
+        )
+        return wave + bump_wave(
+            pick(rr_all), pick(amp_all), pick(cb_all), pick(sb_all)
+        )
+
+    def peak_of(wave):
+        peak = jnp.max(wave, axis=0, keepdims=True)        # (1, blk)
+        rows = jax.lax.broadcasted_iota(jnp.int32, wave.shape, 0)
+        first = jnp.min(
+            jnp.where(wave == peak, rows, m_bins), axis=0, keepdims=True
+        )
+        return peak, first
+
+    return bump_wave, wave_side, peak_of
+
+
 def _kernel(
-    feat_ref,      # (1, blk, F) point features (see pulse_features)
-    a1_ref,        # (1, blk, K) occluder interval starts
-    a2_ref,        # (1, blk, K) occluder interval ends
-    rr_ref,        # (1, blk, K) occluder ranges
-    valid_ref,     # (1, blk, K) f32 0/1 occluder validity
-    cosb_ref,      # (1, blk, K + 1) cos(2 pi r / ctau) per bump + target
-    sinb_ref,      # (1, blk, K + 1) sin per bump + target
+    feat_ref,      # (F, blk) block: rows [d_orig, right, left, amp_scale]
+    a1_ref,        # (K, blk) occluder interval starts
+    a2_ref,        # (K, blk) occluder interval ends
+    rr_ref,        # (K, blk) occluder ranges
+    valid_ref,     # (K, blk) f32 0/1 occluder validity
+    cosb_ref,      # (K+1, blk) cos(2 pi r / ctau) per bump + target
+    sinb_ref,      # (K+1, blk) sin per bump + target
     cosg_ref,      # (1, M) grid table cos(2 pi R / ctau)
     sing_ref,      # (1, M) grid table sin
     peak_ref,      # (1, 1, blk) f32 peak value
@@ -61,194 +193,64 @@ def _kernel(
     xsi_r1: float,
     xsi_r2: float,
 ):
-    # properties arrive as SEPARATE (blk, K) planes: a trailing stacked axis
-    # of size 5/2 would tile as the minormost dim in HBM and pad 128x/64x
-    # (measured 3 GB per temp at batch 16 — the whole-sweep OOM)
-    feat = feat_ref[0]                      # (blk, F)
-    d_orig = feat[:, 0:1]
-    right = feat[:, 1:2]
-    left = feat[:, 2:3]
-    amp_scale = feat[:, 3:4]                # 0.9 * max_intensity per point
-
-    a1 = a1_ref[0]                          # (blk, K)
-    a2 = a2_ref[0]
-    rr = rr_ref[0]
-    valid = valid_ref[0] > 0.5
-
-    # ---- sweep (ops/sweep.occlusion_sweep semantics) ----
-    wrapped = right > left
-    right_u = jnp.where(wrapped, right - TWO_PI, right)
-    a1 = jnp.where(wrapped & (a1 > a2), a1 - TWO_PI, a1)
-    a1 = jnp.where(valid, a1, left)
-    a2 = jnp.where(valid, a2, left)
-
-    m_e = 2 * k_occ + 2
-    endpoints = jnp.concatenate([right_u, left, a1, a2], axis=1)  # (blk, M_e)
-
-    # iterative extract-min sweep: walk the endpoints in ascending order,
-    # claiming each elementary sub-interval for its first (nearest) covering
-    # occluder. O(M_e) small (blk, M)/(blk, K) steps — the O(M^2) rank-sort
-    # formulation blew Mosaic's 16 MB scoped-VMEM budget.
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
+    endpoints, a1, a2, valid, trips, finish = _side_state(
+        feat_ref[...], a1_ref[...], a2_ref[...], rr_ref[...],
+        valid_ref[...] > 0.5,
+        blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm, c_tau=c_tau,
+        xsi_r1=xsi_r1, xsi_r2=xsi_r2,
+    )
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (k_occ, blk), 0)
 
     def sweep_body(k, carry):
-        score, prev, claimed, unclaimed = carry
-        cur = jnp.min(score, axis=1, keepdims=True)             # (blk, 1)
-        live = cur < _BIG / 2                                   # row not done
-        width = jnp.where((k > 0) & live, cur - prev, 0.0)      # (blk, 1)
-        mid = 0.5 * (cur + prev)
-        cover_k = (a1 <= mid) & (mid <= a2) & valid             # (blk, K)
-        widx = jnp.min(
-            jnp.where(cover_k, col_k, k_occ), axis=1, keepdims=True
-        )
-        claimed = claimed + jnp.where(col_k == widx, width, 0.0)
-        unclaimed = unclaimed + jnp.where(widx >= k_occ, width, 0.0)
-        # retire ALL copies of the current value: duplicate endpoints form
-        # zero-width sub-intervals that claim nothing, so one visit per
-        # DISTINCT value is exact — and caps the trips needed below
-        score = jnp.where(score == cur, _BIG, score)
-        prev = jnp.where(live, cur, prev)
-        return score, prev, claimed, unclaimed
+        return _sweep_step(k, carry, a1, a2, valid, row_k, k_occ)
 
     # distinct endpoint values <= 2 * (block max valid occluders) + 2;
     # +1 because trip 0 only primes `prev`
-    n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)          # (blk,)
-    trips = jnp.minimum(2 * jnp.max(n_valid) + 3, m_e)
     _, _, claimed, unclaimed = jax.lax.fori_loop(
-        0, trips, sweep_body,
-        (
-            endpoints,
-            jnp.zeros((blk, 1), jnp.float32),
-            jnp.zeros((blk, k_occ), jnp.float32),
-            jnp.zeros((blk, 1), jnp.float32),
-        ),
-    )
-    unclaimed = unclaimed[:, 0]
-
-    ratio = jnp.clip(claimed / beam_rad, 0.0, 1.0)
-    remainder = jnp.clip(unclaimed / beam_rad, 0.0, 1.0)
-    touched = jnp.any(claimed > 0.0, axis=1)
-    touched_ref[0, 0, :] = touched.astype(jnp.float32)
-    remainder_ref[0, 0, :] = remainder
-
-    # ---- waveform accumulation + argmax (ops/waveform semantics) ----
-    def xsi(r):
-        return jnp.clip((r - xsi_r1) / (xsi_r2 - xsi_r1), 0.0, 1.0)
-
-    cos_g = cosg_ref[0][None, :]                                # (1, M)
-    sin_g = sing_ref[0][None, :]
-    m_bins = cos_g.shape[1]
-    # iota must be integer-typed in Mosaic; cast for the window compare
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, m_bins), 1).astype(
-        jnp.float32
+        0, trips, sweep_body, _sweep_init(endpoints, blk, k_occ)
     )
 
-    # all K+1 bump parameters as (blk, K+1) so the accumulation can be a
-    # rolled fori_loop (an unrolled 25-step loop blew up Mosaic compile time)
-    rr_all = jnp.concatenate([rr, d_orig], axis=1)              # (blk, K+1)
-    share = jnp.concatenate([ratio, remainder[:, None]], axis=1)
-    # share == 0 zeroes the bump; clamp r so 1/r^2 of filler occluders
-    # (dist ~ 3e38) cannot produce 0 * inf = NaN
-    r_amp = jnp.clip(rr_all, 1e-6, 1e6)
-    amp_all = amp_scale * share * xsi(r_amp) / (r_amp * r_amp)
+    rr_all, amp_all, last_active, touched, remainder = finish(
+        claimed, unclaimed
+    )
+    touched_ref[0, 0, :] = touched[0].astype(jnp.float32)
+    remainder_ref[0, 0, :] = remainder[0]
 
-    # Mosaic has no value dynamic_slice: select bump b's column with a
-    # one-hot reduction over the small (blk, K+1) axis instead
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ + 1), 1)
-    cos_b_all = cosb_ref[0]                                     # (blk, K+1)
-    sin_b_all = sinb_ref[0]
+    bump_wave, wave_side, peak_of = _make_wave_fns(
+        cosg_ref, sing_ref, blk, k_occ, ipm, c_tau
+    )
+    cb_all = cosb_ref[...]                                 # (K+1, blk)
+    sb_all = sinb_ref[...]
 
-    def bump_wave(r_b, amp_b, cb, sb):
-        window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
-        pulse = 0.5 * (1.0 - (cos_g * cb + sin_g * sb))
-        return jnp.where(window, amp_b * pulse, 0.0)
-
-    # hard-target bump (index K) unconditionally
+    # hard-target bump (row K) unconditionally
     wave0 = bump_wave(
-        rr_all[:, k_occ:], amp_all[:, k_occ:],
-        cos_b_all[:, k_occ:], sin_b_all[:, k_occ:],
+        rr_all[k_occ:, :], amp_all[k_occ:, :],
+        cb_all[k_occ:, :], sb_all[k_occ:, :],
     )
 
     def wave_body(b, wave):
-        sel = bcol == b
-        pick = lambda v: jnp.sum(
-            jnp.where(sel, v, 0.0), axis=1, keepdims=True
-        )
-        return wave + bump_wave(
-            pick(rr_all), pick(amp_all), pick(cos_b_all), pick(sin_b_all)
-        )
+        return wave_side(b, wave, rr_all, amp_all, cb_all, sb_all)
 
     # occluder bumps beyond the block's last active one contribute zero for
     # every point (amp == 0), so the loop stops there — EXACT, and typically
     # ~3 trips instead of K
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
-    last_active = jnp.max(jnp.where(ratio > 0.0, kcol + 1, 0))
     wave = jax.lax.fori_loop(0, last_active, wave_body, wave0)
 
-    peak = jnp.max(wave, axis=1, keepdims=True)                 # (blk, 1)
-    colm = jax.lax.broadcasted_iota(jnp.int32, (blk, m_bins), 1)
-    first = jnp.min(
-        jnp.where(wave == peak, colm, m_bins), axis=1
-    )
-    peak_ref[0, 0, :] = peak[:, 0]
-    idx_ref[0, 0, :] = first
-
-
-def _side_state(feat, a1, a2, rr, valid, *, blk, k_occ, beam_rad, ipm,
-                c_tau, xsi_r1, xsi_r2):
-    """Pre-loop sweep state + post-sweep waveform builder for one block.
-
-    Returns (endpoints, a1_adj, a2_adj, valid, trips, finish) where
-    finish(claimed, unclaimed) computes the waveform inputs and returns
-    (wave0, rr_all, amp_all, last_active, touched, remainder, wave_body).
-    Identical ops to the single-block `_kernel` — interleaving two blocks
-    must stay bit-exact.
-    """
-    d_orig = feat[:, 0:1]
-    right = feat[:, 1:2]
-    left = feat[:, 2:3]
-    amp_scale = feat[:, 3:4]
-
-    wrapped = right > left
-    right_u = jnp.where(wrapped, right - TWO_PI, right)
-    a1 = jnp.where(wrapped & (a1 > a2), a1 - TWO_PI, a1)
-    a1 = jnp.where(valid, a1, left)
-    a2 = jnp.where(valid, a2, left)
-
-    m_e = 2 * k_occ + 2
-    endpoints = jnp.concatenate([right_u, left, a1, a2], axis=1)
-    n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
-    trips = jnp.minimum(2 * jnp.max(n_valid) + 3, m_e)
-
-    def finish(claimed, unclaimed):
-        unclaimed = unclaimed[:, 0]
-        ratio = jnp.clip(claimed / beam_rad, 0.0, 1.0)
-        remainder = jnp.clip(unclaimed / beam_rad, 0.0, 1.0)
-        touched = jnp.any(claimed > 0.0, axis=1)
-
-        def xsi(r):
-            return jnp.clip((r - xsi_r1) / (xsi_r2 - xsi_r1), 0.0, 1.0)
-
-        rr_all = jnp.concatenate([rr, d_orig], axis=1)
-        share = jnp.concatenate([ratio, remainder[:, None]], axis=1)
-        r_amp = jnp.clip(rr_all, 1e-6, 1e6)
-        amp_all = amp_scale * share * xsi(r_amp) / (r_amp * r_amp)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
-        last_active = jnp.max(jnp.where(ratio > 0.0, kcol + 1, 0))
-        return rr_all, amp_all, last_active, touched, remainder
-
-    return endpoints, a1, a2, valid, trips, finish
+    peak, first = peak_of(wave)
+    peak_ref[0, 0, :] = peak[0]
+    idx_ref[0, 0, :] = first[0]
 
 
 def _kernel_pair(
-    feat_a_ref, feat_b_ref,
-    a1_a_ref, a1_b_ref,
-    a2_a_ref, a2_b_ref,
-    rr_a_ref, rr_b_ref,
-    valid_a_ref, valid_b_ref,
-    cosb_a_ref, cosb_b_ref,
-    sinb_a_ref, sinb_b_ref,
-    cosg_ref, sing_ref,
+    feat_ref,      # (F, 2*blk) block: chunks 2i | 2i+1 on the lane axis
+    a1_ref,        # (K, 2*blk)
+    a2_ref,
+    rr_ref,
+    valid_ref,
+    cosb_ref,      # (K+1, 2*blk)
+    sinb_ref,
+    cosg_ref,      # (1, M)
+    sing_ref,
     peak_ref,      # (2, 1, blk)
     idx_ref,
     touched_ref,
@@ -264,87 +266,52 @@ def _kernel_pair(
 ):
     """Two pulse blocks per grid step, sweep + wave loops INTERLEAVED.
 
-    The sweep walk is a sequential dependence chain of small (blk, M_e)
-    reduce/broadcast ops; two independent chains double the exploitable
-    ILP. Count-bucketed compaction (models/snowfall.py phase B) sorts
-    blocks by occluder count, so ADJACENT blocks have near-equal trip
-    counts and the shared max(trips_a, trips_b) costs ~nothing — unlike
-    the phase-A pairing experiment, where trip counts are uncorrelated.
-    Extra trips on the shorter side are exact no-ops (live-row guard in
-    the sweep; amp == 0 bumps in the wave)."""
+    The sweep walk is a sequential dependence chain of small reduce ops;
+    two independent chains double the exploitable ILP. Count-bucketed
+    compaction (models/snowfall.py phase B) sorts blocks by occluder
+    count, so ADJACENT blocks have near-equal trip counts and the shared
+    max(trips_a, trips_b) costs ~nothing. Extra trips on the shorter side
+    are exact no-ops (live-row guard in the sweep; amp == 0 bumps in the
+    wave). Measured SLOWER than the single-block kernel at bench shapes
+    (BASELINE.md round-2 tail) — kept as the opt-in `pulse_pair` knob."""
     kw = dict(
         blk=blk, k_occ=k_occ, beam_rad=beam_rad, ipm=ipm, c_tau=c_tau,
         xsi_r1=xsi_r1, xsi_r2=xsi_r2,
     )
     sides = []
-    for feat_ref, a1_ref, a2_ref, rr_ref, valid_ref, cb_ref, sb_ref in (
-        (feat_a_ref, a1_a_ref, a2_a_ref, rr_a_ref, valid_a_ref,
-         cosb_a_ref, sinb_a_ref),
-        (feat_b_ref, a1_b_ref, a2_b_ref, rr_b_ref, valid_b_ref,
-         cosb_b_ref, sinb_b_ref),
-    ):
+    for s in (0, 1):
+        lane = pl.ds(s * blk, blk)
         sides.append((
             _side_state(
-                feat_ref[0], a1_ref[0], a2_ref[0], rr_ref[0],
-                valid_ref[0] > 0.5, **kw,
+                feat_ref[:, lane], a1_ref[:, lane], a2_ref[:, lane],
+                rr_ref[:, lane], valid_ref[:, lane] > 0.5, **kw,
             ),
-            cb_ref[0], sb_ref[0],
+            cosb_ref[:, lane], sinb_ref[:, lane],
         ))
 
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ), 1)
-    m_e = 2 * k_occ + 2
-
-    def sweep_side(k, carry, a1, a2, valid):
-        score, prev, claimed, unclaimed = carry
-        cur = jnp.min(score, axis=1, keepdims=True)
-        live = cur < _BIG / 2
-        width = jnp.where((k > 0) & live, cur - prev, 0.0)
-        mid = 0.5 * (cur + prev)
-        cover_k = (a1 <= mid) & (mid <= a2) & valid
-        widx = jnp.min(
-            jnp.where(cover_k, col_k, k_occ), axis=1, keepdims=True
-        )
-        claimed = claimed + jnp.where(col_k == widx, width, 0.0)
-        unclaimed = unclaimed + jnp.where(widx >= k_occ, width, 0.0)
-        score = jnp.where(score == cur, _BIG, score)
-        prev = jnp.where(live, cur, prev)
-        return score, prev, claimed, unclaimed
-
+    row_k = jax.lax.broadcasted_iota(jnp.int32, (k_occ, blk), 0)
     trips = jnp.maximum(sides[0][0][4], sides[1][0][4])
 
     def sweep_body(k, carry):
         return tuple(
-            sweep_side(
-                k, carry[s], sides[s][0][1], sides[s][0][2], sides[s][0][3]
+            _sweep_step(
+                k, carry[s], sides[s][0][1], sides[s][0][2], sides[s][0][3],
+                row_k, k_occ,
             )
             for s in (0, 1)
         )
 
-    def init_carry(endpoints):
-        return (
-            endpoints,
-            jnp.zeros((blk, 1), jnp.float32),
-            jnp.zeros((blk, k_occ), jnp.float32),
-            jnp.zeros((blk, 1), jnp.float32),
-        )
-
     carries = jax.lax.fori_loop(
         0, trips, sweep_body,
-        (init_carry(sides[0][0][0]), init_carry(sides[1][0][0])),
+        (
+            _sweep_init(sides[0][0][0], blk, k_occ),
+            _sweep_init(sides[1][0][0], blk, k_occ),
+        ),
     )
 
-    cos_g = cosg_ref[0][None, :]
-    sin_g = sing_ref[0][None, :]
-    m_bins = cos_g.shape[1]
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, m_bins), 1).astype(
-        jnp.float32
+    bump_wave, wave_side, peak_of = _make_wave_fns(
+        cosg_ref, sing_ref, blk, k_occ, ipm, c_tau
     )
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (blk, k_occ + 1), 1)
-
-    def bump_wave(r_b, amp_b, cb, sb):
-        window = (bins >= r_b * ipm) & (bins <= (r_b + c_tau) * ipm)
-        pulse = 0.5 * (1.0 - (cos_g * cb + sin_g * sb))
-        return jnp.where(window, amp_b * pulse, 0.0)
 
     waves = []
     for s in (0, 1):
@@ -353,24 +320,15 @@ def _kernel_pair(
         rr_all, amp_all, last_active, touched, remainder = finish(
             claimed, unclaimed
         )
-        touched_ref[s, 0, :] = touched.astype(jnp.float32)
-        remainder_ref[s, 0, :] = remainder
+        touched_ref[s, 0, :] = touched[0].astype(jnp.float32)
+        remainder_ref[s, 0, :] = remainder[0]
         wave0 = bump_wave(
-            rr_all[:, k_occ:], amp_all[:, k_occ:],
-            cb_all[:, k_occ:], sb_all[:, k_occ:],
+            rr_all[k_occ:, :], amp_all[k_occ:, :],
+            cb_all[k_occ:, :], sb_all[k_occ:, :],
         )
         waves.append((wave0, rr_all, amp_all, cb_all, sb_all, last_active))
 
     last_active = jnp.maximum(waves[0][5], waves[1][5])
-
-    def wave_side(b, wave, rr_all, amp_all, cb_all, sb_all):
-        sel = bcol == b
-        pick = lambda v: jnp.sum(
-            jnp.where(sel, v, 0.0), axis=1, keepdims=True
-        )
-        return wave + bump_wave(
-            pick(rr_all), pick(amp_all), pick(cb_all), pick(sb_all)
-        )
 
     def wave_body(b, carry):
         return tuple(
@@ -381,13 +339,10 @@ def _kernel_pair(
         0, last_active, wave_body, (waves[0][0], waves[1][0])
     )
 
-    colm = jax.lax.broadcasted_iota(jnp.int32, (blk, m_bins), 1)
     for s in (0, 1):
-        wave = final[s]
-        peak = jnp.max(wave, axis=1, keepdims=True)
-        first = jnp.min(jnp.where(wave == peak, colm, m_bins), axis=1)
-        peak_ref[s, 0, :] = peak[:, 0]
-        idx_ref[s, 0, :] = first
+        peak, first = peak_of(final[s])
+        peak_ref[s, 0, :] = peak[0]
+        idx_ref[s, 0, :] = first[0]
 
 
 def make_pallas_pulse_phase(
@@ -396,12 +351,13 @@ def make_pallas_pulse_phase(
 ):
     """Build the fused phase-C callable for fixed static shapes.
 
-    Takes (feats (n_blk, blk, 4), a1/a2/rr/valid (n_blk, blk, K) each,
-    cos_b/sin_b (n_blk, blk, K+1), cos_g (M,), sin_g (M,)) and returns
-    (peak, idx, touched, remainder) each (n_blk, blk). Occluder properties
-    are separate planes, NOT a stacked (..., K, 5) array — a trailing
-    size-5/2 axis would be the HBM minormost dim and pad 128x under TPU
-    (8, 128) tiling (3 GB of padded temps per 16-scan batch).
+    Takes K-OUTER planes — feats (F, cap) rows [d_orig, right, left,
+    amp_scale], a1/a2/rr/valid (K, cap), cos_b/sin_b (K+1, cap), grid
+    tables cos_g/sin_g (M,) — and returns (peak, idx, touched, remainder)
+    each (cap // blk, blk). Occluder properties are separate planes with
+    the ROW axis minor-most never materialized: a (cap, K) layout would
+    pad its 24-wide minor dim 5.3x under TPU (8, 128) tiling both in HBM
+    temps and in VMEM tiles (24 of 128 lanes used by every sweep op).
     """
     if pair:
         kernel = functools.partial(
@@ -415,47 +371,41 @@ def make_pallas_pulse_phase(
         )
 
     def run(feats, a1, a2, rr, valid, cos_b, sin_b, cos_g, sin_g):
-        n_blk = feats.shape[0]
+        cap = feats.shape[1]
+        n_blk = cap // blk
         m_bins = cos_g.shape[0]
-
-        def spec(w, f):
-            return pl.BlockSpec((1, blk, w), f, memory_space=pltpu.VMEM)
 
         if pair:
             assert n_blk % 2 == 0, "pair=True needs an even block count"
             grid = (n_blk // 2,)
-            even = lambda i: (2 * i, 0, 0)
-            odd = lambda i: (2 * i + 1, 0, 0)
-
-            def dual(w):
-                return [spec(w, even), spec(w, odd)]
-
-            in_specs = (
-                dual(feats.shape[2]) + dual(k_occ) * 4 + dual(k_occ + 1) * 2
-            )
-            operands = (
-                feats, feats, a1, a1, a2, a2, rr, rr, valid, valid,
-                cos_b, cos_b, sin_b, sin_b,
-            )
+            lanes = 2 * blk
             blk0 = 2
         else:
             grid = (n_blk,)
-            one = lambda i: (i, 0, 0)
-            in_specs = (
-                [spec(feats.shape[2], one)] + [spec(k_occ, one)] * 4
-                + [spec(k_occ + 1, one)] * 2
-            )
-            operands = (feats, a1, a2, rr, valid, cos_b, sin_b)
+            lanes = blk
             blk0 = 1
+
+        def spec(rows):
+            # rows == the full first dim, so the block is always
+            # Mosaic-legal regardless of K/F divisibility
+            return pl.BlockSpec((rows, lanes), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = (
+            [spec(feats.shape[0])]
+            + [spec(k_occ)] * 4
+            + [spec(k_occ + 1)] * 2
+            + [
+                pl.BlockSpec((1, m_bins), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m_bins), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        )
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=in_specs + [
-                pl.BlockSpec((1, m_bins), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, m_bins), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((blk0, 1, blk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -467,15 +417,13 @@ def make_pallas_pulse_phase(
                 jax.ShapeDtypeStruct((n_blk, 1, blk), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                # ~30 MB live set at blk=256 (wave + window + sweep state);
-                # the default 16 MB scoped budget is for small kernels
+                # wave (M_bins, blk) + window state; the default 16 MB
+                # scoped budget is for small kernels
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(
-            *operands,
-            cos_g[None, :], sin_g[None, :],
-        )
+        )(feats, a1, a2, rr, valid, cos_b, sin_b,
+          cos_g[None, :], sin_g[None, :])
         peak, idx, touched, remainder = out
         return (
             peak[:, 0, :], idx[:, 0, :], touched[:, 0, :] > 0.5,
