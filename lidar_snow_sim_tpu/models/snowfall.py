@@ -501,6 +501,10 @@ def snowfall_augment_dense(
         cfg.use_pallas
         and (cfg.pallas_interpret or jax.default_backend() == "tpu")
         and k_ext >= w_pallas
+        # the K-outer (3K, n_chunks*blk) output writes (3K, blk) lane
+        # blocks, which Mosaic requires to be 128-divisible; smaller blocks
+        # fall back to the XLA dense path (interpret mode doesn't enforce)
+        and (cfg.pallas_interpret or blk % 128 == 0)
     )
     if use_pallas:
         from lidar_snow_sim_tpu.ops.pallas_occluders import (

@@ -153,3 +153,37 @@ def test_sweep_on_reference_smoke_scene():
         s = sum(v for _, v in got.values()) + got_rems[i]
         assert s == pytest.approx(1.0, abs=1e-3)
     assert total_claimed > 100  # the scene occludes a good fraction of beams
+
+
+def test_masked_median_and_mad_matches_two_sort_form():
+    """The single-sort median+MAD (ops/fitting.masked_median_and_mad) must
+    be bit-identical to the two-sort form it replaces (the RANSAC threshold,
+    planes.py:12-50 semantics), including ties and sparse masks."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_snow_sim_tpu.ops.fitting import (
+        masked_median,
+        masked_median_and_mad,
+    )
+
+    @jax.jit
+    def ref(x, m):
+        m1 = masked_median(x, m)
+        return m1, masked_median(jnp.abs(x - m1), m)
+
+    new = jax.jit(masked_median_and_mad)
+    rng = np.random.default_rng(0)
+    n = 257
+    for trial in range(60):
+        x = rng.normal(0, 3, n).astype(np.float32)
+        if trial % 7 == 0:
+            x = np.round(x).astype(np.float32)  # force ties
+        mask = rng.random(n) < rng.uniform(0.02, 1.0)
+        if not mask.any():
+            continue
+        r = ref(jnp.asarray(x), jnp.asarray(mask))
+        v = new(jnp.asarray(x), jnp.asarray(mask))
+        assert float(r[0]) == float(v[0]), trial
+        assert float(r[1]) == float(v[1]), trial
