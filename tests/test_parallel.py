@@ -239,3 +239,44 @@ def test_mesh_datagen_batch_mismatch(tmp_path, calib, bank, small_cfg):
             ["a"], lambda s: np.zeros((10, 5), np.float32), tmp_path,
             bank, calib, small_cfg, batch=3, mesh=mesh,
         )
+
+
+def test_datagen_stale_batches_do_not_cascade_growth(
+    tmp_path, calib, bank, small_cfg
+):
+    """With several batches in flight, one overflow must grow a capacity
+    ONCE: batches dispatched before the growth carry a stale config and are
+    retried under the grown one instead of each doubling it again (the
+    regression grew slice_width 1536 -> 12288 when 3072 sufficed)."""
+    import dataclasses
+
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    tiny = dataclasses.replace(
+        small_cfg, assembly="dense", channel_capacity=64, block_points=16,
+        slice_width=16, chunk_group=16, compact_capacity=512,
+        pulse_chunk=512,
+    )
+    # enough frames that every pipeline slot holds a stale batch when the
+    # first drain discovers the overflow (pipeline depth is 3)
+    scans = {
+        f"f{i}": synthetic_scan(n_azimuth=60, seed=0, calib=calib)[:4096]
+        for i in range(5)
+    }
+    out = tmp_path / "stale"
+    s = run_snowfall_datagen(
+        sorted(scans), lambda sid: scans[sid], out, bank, calib, tiny,
+        batch=1, seed=0, shuffle_channels=False,
+    )
+    assert s.frames_done == 5
+    # identical frames need identical capacities: the growth count must be
+    # what ONE frame needs (a stale-batch cascade would multiply it)
+    solo = tmp_path / "solo"
+    s1 = run_snowfall_datagen(
+        ["f0"], lambda sid: scans[sid], solo, bank, calib, tiny,
+        batch=1, seed=0, shuffle_channels=False,
+    )
+    assert s.capacity_growths == s1.capacity_growths
+    a = np.fromfile(out / "f0.bin", np.float32)
+    b = np.fromfile(solo / "f0.bin", np.float32)
+    np.testing.assert_array_equal(a, b)
