@@ -12,6 +12,11 @@ points embedded as base64 Float32Array). Open the file in any browser:
   (`pointcloud_viewer.py:3155-3231` get_colors equivalents; label colors
   match the reference convention 0=unchanged, 1=attenuated/modified,
   2=scattered)
+- TEMPORAL FRAMES: `--neighbors -6:4` embeds the STF sample's past/future
+  sweeps (the Qt viewer's temporal navigation range,
+  `pointcloud_viewer.py` temporal frames / utils.stf_meta.temporal_neighbors),
+  each run through the same pipeline; switch with arrow keys or the frame
+  selector
 - GT/prediction box wireframes (KITTI label files, `--labels`)
 - the augmentation stat labels and log string the Qt viewer shows
   (`pointcloud_viewer.py:2823-2830,3122-3153`)
@@ -26,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import copy
 import html
 import json
 import sys
@@ -79,32 +85,37 @@ def _b64(arr: np.ndarray) -> str:
     return base64.b64encode(np.ascontiguousarray(arr).tobytes()).decode()
 
 
+MODES = ("label", "intensity", "height", "channel", "depth")
+
 _PAGE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>lidar_snow_sim_tpu viewer</title>
 <style>
  body {{ margin:0; background:#101014; color:#ddd;
         font:13px/1.4 system-ui, sans-serif; }}
  #hud {{ position:fixed; top:8px; left:8px; background:rgba(16,16,20,.85);
-        padding:8px 10px; border-radius:6px; max-width:360px; }}
+        padding:8px 10px; border-radius:6px; max-width:380px; }}
  #hud b {{ color:#fff; }}
  canvas {{ display:block; cursor:grab; }}
  select,input {{ background:#222; color:#ddd; border:1px solid #444; }}
- .stat {{ margin:1px 0; white-space:pre; }}
+ .stat {{ margin:1px 0; white-space:pre-wrap; }}
 </style></head><body>
 <canvas id="c"></canvas>
 <div id="hud">
  <div><b>{title}</b></div>
- <div>color <select id="mode">{mode_options}</select>
-  size <input id="psz" type="range" min="1" max="4" value="1"
+ <div>frame <select id="frame">{frame_options}</select>
+  color <select id="mode">{mode_options}</select></div>
+ <div>size <input id="psz" type="range" min="1" max="4" value="1"
    style="width:70px">
   boxes <input id="bx" type="checkbox" checked></div>
  {stats_html}
  <div class="stat" style="color:#888">drag orbit / wheel zoom /
- shift-drag pan</div>
+ shift-drag pan / arrow keys switch frame</div>
 </div>
 <script>
 "use strict";
-const N = {n_points};
+const FRAMES = {frames_json};
+const MODES = {modes_json};
+const PALETTES = {palettes_json};
 function f32(b64) {{
   const s = atob(b64); const a = new Uint8Array(s.length);
   for (let i = 0; i < s.length; i++) a[i] = s.charCodeAt(i);
@@ -115,15 +126,24 @@ function u8(b64) {{
   for (let i = 0; i < s.length; i++) a[i] = s.charCodeAt(i);
   return a;
 }}
-const X = f32("{xs}"), Y = f32("{ys}"), Z = f32("{zs}");
-const MODES = {modes_json};
-const PALETTES = {palettes_json};
-const IDX = Object.fromEntries(MODES.map(m => [m, u8(COLOR_B64[m])]));
-const BOXES = {boxes_json};  // each: 8 corners x [x,y,z]
+const cache = {{}};
+function frame(fi) {{
+  if (!(fi in cache)) {{
+    const fr = FRAMES[fi];
+    cache[fi] = {{
+      n: fr.n,
+      X: f32(fr.xs), Y: f32(fr.ys), Z: f32(fr.zs),
+      idx: Object.fromEntries(MODES.map(m => [m, u8(fr.colors[m])])),
+      boxes: fr.boxes,
+    }};
+  }}
+  return cache[fi];
+}}
 
 const cv = document.getElementById("c");
 const ctx = cv.getContext("2d");
 let yaw = -2.2, pitch = 0.9, zoom = 9.0, panx = 0, pany = 0;
+let fi = {center_index};
 let mode = MODES[0], psz = 1, showBoxes = true;
 
 function resize() {{
@@ -132,6 +152,7 @@ function resize() {{
 addEventListener("resize", resize);
 
 function draw() {{
+  const fr = frame(fi);
   const w = cv.width, h = cv.height;
   const img = ctx.createImageData(w, h);
   const d = img.data;
@@ -139,9 +160,9 @@ function draw() {{
   const cp = Math.cos(pitch), sp = Math.sin(pitch);
   const f = Math.min(w, h) * zoom / 100.0;
   const cxp = w / 2 + panx, cyp = h / 2 + pany;
-  const idx = IDX[mode]; const pal = PALETTES[mode];
-  for (let i = 0; i < N; i++) {{
-    const x0 = X[i], y0 = Y[i], z0 = Z[i];
+  const idx = fr.idx[mode]; const pal = PALETTES[mode];
+  for (let i = 0; i < fr.n; i++) {{
+    const x0 = fr.X[i], y0 = fr.Y[i], z0 = fr.Z[i];
     const x1 = cy * x0 + sy * y0;
     const y1 = -sy * x0 + cy * y0;
     const z2 = cp * z0 - sp * y1;
@@ -160,11 +181,11 @@ function draw() {{
     }}
   }}
   ctx.putImageData(img, 0, 0);
-  if (showBoxes && BOXES.length) {{
+  if (showBoxes && fr.boxes.length) {{
     ctx.strokeStyle = "#3cf06c"; ctx.lineWidth = 1.2;
     const E = [[0,1],[1,2],[2,3],[3,0],[4,5],[5,6],[6,7],[7,4],
                [0,4],[1,5],[2,6],[3,7]];
-    for (const box of BOXES) {{
+    for (const box of fr.boxes) {{
       const pts = box.map(([x0, y0, z0]) => {{
         const x1 = cy * x0 + sy * y0;
         const y1 = -sy * x0 + cy * y0;
@@ -204,6 +225,16 @@ cv.addEventListener("wheel", e => {{
   zoom = Math.max(1.0, Math.min(120, zoom * (e.deltaY < 0 ? 1.12 : 0.89)));
   e.preventDefault(); requestAnimationFrame(draw);
 }}, {{ passive: false }});
+const frameSel = document.getElementById("frame");
+function setFrame(j) {{
+  fi = Math.max(0, Math.min(FRAMES.length - 1, j));
+  frameSel.value = fi; draw();
+}}
+frameSel.addEventListener("change", e => setFrame(+e.target.value));
+addEventListener("keydown", e => {{
+  if (e.key === "ArrowRight") setFrame(fi + 1);
+  if (e.key === "ArrowLeft") setFrame(fi - 1);
+}});
 document.getElementById("mode").addEventListener("change", e => {{
   mode = e.target.value; draw();
 }});
@@ -218,21 +249,41 @@ resize();
 """
 
 
-def write_viewer_html(
-    pc: np.ndarray,
-    out_path: str | Path,
-    *,
-    title: str = "scan",
-    stats: dict | None = None,
-    boxes=None,
-    max_points: int = 200_000,
-) -> Path:
-    """Render (N, 5) points to a self-contained interactive HTML file."""
+def _frame_payload(pc: np.ndarray, boxes, max_points: int) -> dict:
     if len(pc) > max_points:
         # deterministic stride decimation keeps the spatial distribution
         step = -(-len(pc) // max_points)
         pc = pc[::step]
     planes = color_planes(pc)
+    return {
+        "n": len(pc),
+        "xs": _b64(pc[:, 0].astype(np.float32)),
+        "ys": _b64(pc[:, 1].astype(np.float32)),
+        "zs": _b64(pc[:, 2].astype(np.float32)),
+        "colors": {m: _b64(planes[m]) for m in MODES},
+        "boxes": [np.round(b.corners(), 3).tolist() for b in (boxes or [])],
+    }
+
+
+def write_viewer_html(
+    frames,
+    out_path: str | Path,
+    *,
+    title: str = "scan",
+    stats: dict | None = None,
+    center_index: int = 0,
+    max_points: int = 200_000,
+) -> Path:
+    """Render frames [(name, (N, 5) points, boxes)] to one self-contained
+    interactive HTML file; `center_index` selects the initially shown
+    frame (the non-neighbor sample)."""
+    payloads = []
+    names = []
+    for name, pc, boxes in frames:
+        names.append(name)
+        d = _frame_payload(pc, boxes, max_points)
+        d["name"] = name
+        payloads.append(d)
     turbo = _turbo256()
     palettes = {
         "label": _LABEL_RGB.tolist(),
@@ -241,39 +292,52 @@ def write_viewer_html(
         "channel": turbo.tolist(),
         "depth": turbo.tolist(),
     }
-    modes = list(planes.keys())
     stats = stats or {}
     stats_html = "".join(
         f'<div class="stat">{html.escape(str(k))}: '
         f"{html.escape(str(v))}</div>"
         for k, v in stats.items()
     )
-    color_b64 = json.dumps({m: _b64(planes[m]) for m in modes})
-    corners = [
-        np.round(b.corners(), 3).tolist() for b in (boxes or [])
-    ]
     page = _PAGE.format(
         title=html.escape(title),
-        n_points=len(pc),
-        xs=_b64(pc[:, 0].astype(np.float32)),
-        ys=_b64(pc[:, 1].astype(np.float32)),
-        zs=_b64(pc[:, 2].astype(np.float32)),
-        modes_json=json.dumps(modes),
+        frames_json=json.dumps(payloads),
+        modes_json=json.dumps(list(MODES)),
         palettes_json=json.dumps(palettes),
-        boxes_json=json.dumps(corners),
+        center_index=center_index,
+        frame_options="".join(
+            f'<option value="{i}"{" selected" if i == center_index else ""}>'
+            f"{html.escape(nm)}</option>"
+            for i, nm in enumerate(names)
+        ),
         mode_options="".join(
-            f'<option value="{m}">{m}</option>' for m in modes
+            f'<option value="{m}">{m}</option>' for m in MODES
         ),
         stats_html=stats_html,
-    )
-    # COLOR_B64 is injected before the script uses it
-    page = page.replace(
-        'const IDX = Object.fromEntries',
-        f"const COLOR_B64 = {color_b64};\nconst IDX = Object.fromEntries",
     )
     out_path = Path(out_path)
     out_path.write_text(page)
     return out_path
+
+
+def _neighbor_paths(scan: Path, lo: int, hi: int) -> list[Path]:
+    """Sibling sweep files of an STF-style `date_frame.bin` (the Qt
+    viewer's temporal range; utils.stf_meta.temporal_neighbors naming)."""
+    from lidar_snow_sim_tpu.utils.stf_meta import temporal_neighbors
+
+    stem = scan.stem
+    if "_" not in stem:
+        return [scan]
+    date, frame = stem.rsplit("_", 1)
+    if not frame.isdigit():
+        return [scan]
+    out = []
+    for nid in temporal_neighbors(
+        f"{date},{frame}", offsets=range(lo, hi + 1)
+    ):
+        p = scan.with_name(nid.replace(",", "_") + scan.suffix)
+        if p.exists():
+            out.append(p)
+    return out or [scan]
 
 
 def main(argv=None):
@@ -287,24 +351,46 @@ def main(argv=None):
     ap.add_argument("--out", default="viewer.html",
                     help="output HTML file")
     ap.add_argument("--max-points", type=int, default=200_000,
-                    help="decimate above this many points")
+                    help="decimate above this many points (per frame)")
+    ap.add_argument("--neighbors", default="0:0",
+                    help="temporal frame range LO:HI around the sample "
+                         "(the Qt viewer browses -6:4; pass as "
+                         "--neighbors=-6:4 so argparse accepts the dash); "
+                         "each neighbor runs the same mask+augmentation "
+                         "pipeline")
     args = ap.parse_args(argv)
 
-    pc, report, boxes = run_pipeline(args, ap)
+    lo, hi = (int(v) for v in args.neighbors.split(":"))
+    scan = Path(args.scan)
+    paths = _neighbor_paths(scan, lo, hi)
 
-    stats = {"points": len(pc), "log": report.get("log", "")}
+    frames = []
+    center_index = 0
+    report = None
+    for p in paths:
+        fargs = copy.copy(args)
+        fargs.scan = str(p)
+        pc, rep, boxes = run_pipeline(fargs, ap)
+        if p.resolve() == scan.resolve():
+            center_index = len(frames)
+            report = rep
+        frames.append((p.stem, pc, boxes))
+
+    report = report or {}
+    stats = {"frames": len(frames), "log": report.get("log", "")}
     for key in ("snow", "wet", "lisa", "fog", "stf_fog", "dror", "labels"):
         if key in report:
             stats[key] = report[key]
     out = write_viewer_html(
-        pc,
+        frames,
         args.out,
-        title=f"{Path(args.scan).name} [{args.augment}]",
+        title=f"{scan.name} [{args.augment}]",
         stats=stats,
-        boxes=boxes,
+        center_index=center_index,
         max_points=args.max_points,
     )
     report["viewer_html"] = str(out.resolve())
+    report["frames_embedded"] = [n for n, _, _ in frames]
     print(json.dumps(report, indent=2))
     return 0
 

@@ -189,38 +189,49 @@ def test_precompute_full_reference_grid(tmp_path, calib):
 
 def test_viewer_html(tmp_path, calib):
     """The browser viewer writes a self-contained interactive HTML with the
-    decoded point payload, every color mode, stat labels, and GT box
-    wireframes (the Qt viewer's browsing surface, pointcloud_viewer.py:
-    236-3403, without Qt)."""
+    decoded point payload, every color mode, stat labels, GT box
+    wireframes, and the Qt viewer's temporal-frame browsing
+    (pointcloud_viewer.py:236-3403, without Qt)."""
     import base64
+    import json as _json
     import re
 
     from lidar_snow_sim_tpu.tools.viewer import main as viewer_main
     from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
 
-    pc = synthetic_scan(n_azimuth=120, seed=3, calib=calib)
-    scan = tmp_path / "scan.bin"
-    pc.astype(np.float32).tofile(scan)
+    # three temporal sibling sweeps (date_frame naming)
+    for k in (4, 5, 6):
+        pc = synthetic_scan(n_azimuth=120, seed=k, calib=calib)
+        pc.astype(np.float32).tofile(tmp_path / f"2019-01-01_0000{k}.bin")
+    scan = tmp_path / "2019-01-01_00005.bin"
     labels = tmp_path / "labels.txt"
     labels.write_text(
-        "Car 0 0 0 0 0 50 50 1.5 1.6 3.9 1.0 1.0 20.0 0.1\n"
+        "PassengerCar 0 0 0 0 0 50 50 1.5 1.6 3.9 1.0 1.0 20.0 0.1\n"
     )
     out = tmp_path / "v.html"
     assert viewer_main(
         [str(scan), "--out", str(out), "--labels", str(labels),
-         "--max-points", "5000"]
+         "--max-points", "5000", "--neighbors=-1:1"]
     ) == 0
     s = out.read_text()
-    # decodable point payload, decimated under the cap
-    xs = re.search(r'const X = f32\("([^"]+)"\)', s).group(1)
-    x = np.frombuffer(base64.b64decode(xs), np.float32)
-    assert 0 < len(x) <= 5000
-    assert f"const N = {len(x)}" in s
-    # all five get_colors modes, the box wireframe, the stat labels
+    frames = _json.loads(
+        re.search(r"const FRAMES = (\[.*?\]);\n", s, re.S).group(1)
+    )
+    # all three temporal neighbors embedded, center selected
+    assert [f["name"] for f in frames] == [
+        "2019-01-01_00004", "2019-01-01_00005", "2019-01-01_00006"
+    ]
+    for f in frames:
+        x = np.frombuffer(base64.b64decode(f["xs"]), np.float32)
+        assert 0 < len(x) == f["n"] <= 5000
+        assert set(f["colors"]) == {
+            "label", "intensity", "height", "channel", "depth"
+        }
+        assert len(f["boxes"]) == 1 and len(f["boxes"][0]) == 8
+    assert 'value="1" selected' in s  # center frame initially shown
     for mode in ("label", "intensity", "height", "channel", "depth"):
         assert f'<option value="{mode}">' in s
-    assert "const BOXES" in s and s.count("[[") >= 1
-    assert "points" in s and "drag orbit" in s
+    assert "drag orbit" in s and "arrow keys" in s
     # brace-balanced script (the template is .format()-escaped JS)
     js = s[s.index("<script>"):]
     assert js.count("{") == js.count("}")
