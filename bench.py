@@ -157,6 +157,7 @@ def main():
         block_points=int(os.environ.get("BENCH_BLOCK", "128")),
         slice_width=int(os.environ.get("BENCH_SLICE", "1152")),
         pulse_block=int(os.environ.get("BENCH_PBLOCK", "512")),
+        batch_fold=os.environ.get("BENCH_FOLD", "0") == "1",
         pallas_pair=os.environ.get("BENCH_PAIR", "0") == "1",
         pulse_pair=os.environ.get("BENCH_PPAIR", "0") == "1",
         band_width=int(os.environ.get("BENCH_BAND", "0")),

@@ -128,6 +128,12 @@ class SnowfallConfig:
     # adjacent blocks trip-count-homogeneous, so the shared max(trips)
     # is ~free there
     pulse_pair: bool = False
+    # fold a frame batch into the phase-A kernel grid via custom_vmap
+    # (one pallas launch instead of a serial while loop over frames).
+    # MUST be False under GSPMD sharding: a folded pallas_call spanning
+    # the data-sharded batch axis would force an all-gather
+    # (parallel.batched sharded builders disable it).
+    batch_fold: bool = False
 
     # plane fit / laser parameter estimation
     ransac_trials: int = 64

@@ -688,6 +688,7 @@ def snowfall_augment_dense(
             interpret=cfg.pallas_interpret, transposed=transposed,
             pair=cfg.pallas_pair and n_chunks % 2 == 0 and not band,
             band=band, band_group=cfg.band_group,
+            batch_fold=cfg.batch_fold,
             # only the first wide_capacity wide lanes can hold real
             # candidates; slicing the rest out of the banded compute keeps
             # the per-group candidate width at a lane-tile multiple

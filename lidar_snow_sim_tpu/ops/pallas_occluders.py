@@ -663,7 +663,7 @@ def make_pallas_occluder_phase(
     *, blk: int, w_sl: int, wide_cap: int, k_occ: int, beam_rad: float,
     interpret: bool = False, pair: bool = False,
     band: int = 0, band_group: int = 8, wide_sl: int = 0,
-    transposed: bool = False,
+    transposed: bool = False, batch_fold: bool = False,
 ):
     """Build the fused phase-A callable for fixed static shapes.
 
@@ -853,9 +853,52 @@ def make_pallas_occluder_phase(
         )(*prefetch, *feat_args, bank_data_t, bank_wide_t)
         return a12d, ovf[:, 0, :]
 
-    # NOTE: under vmap over a frame batch the scalar-prefetch pallas_call
-    # falls back to a serial while loop (one launch per frame). Folding the
-    # batch into the grid via custom_vmap was MEASURED SLOWER (76.2 vs
-    # 70.9 ms/step at batch 8: +330 MB XLA-visible traffic, likely lost
-    # carry aliasing) — keep the serial form.
-    return run
+    # Under vmap over a frame batch the scalar-prefetch pallas_call falls
+    # back to a serial while loop (one launch per frame). batch_fold=True
+    # instead folds the batch into ONE grid via custom_vmap: chunk
+    # metadata flattens, feature-block indices shift by the frame's block
+    # offset, and the K-outer (3K, B*n2) output splits back along its
+    # contiguous lane axis — identical per-frame results (pure index
+    # arithmetic; every chunk computes exactly what it did unfolded).
+    # MUST stay off under GSPMD sharding (see SnowfallConfig.batch_fold).
+    if not batch_fold or pair or transposed:
+        return run
+
+    from jax import custom_batching
+
+    def folded(feats_b, w0_blocks, rows, los, has, counts,
+               bank_data_t, bank_wide_t):
+        return run(feats_b, w0_blocks, rows, los, counts,
+                   bank_data_t, bank_wide_t, has=has)
+
+    cv = custom_batching.custom_vmap(folded)
+
+    @cv.def_vmap
+    def _fold_rule(axis_size, in_batched, feats_b, w0b, rows, los, has,
+                   counts, data_t, wide_t):
+        assert in_batched[:5] == [True] * 5 and not any(in_batched[5:]), (
+            "batch_fold expects per-frame chunk metadata batched and "
+            "banks/calib broadcast"
+        )
+        b = axis_size
+        nb = feats_b.shape[1]
+        n_chunks = rows.shape[1]
+        fb = feats_b.reshape((b * nb,) + feats_b.shape[2:])
+        w0 = (
+            w0b + (jnp.arange(b, dtype=w0b.dtype) * nb)[:, None]
+        ).reshape(-1)
+        a12d, ovf = run(
+            fb, w0, rows.reshape(-1), los.reshape(-1), counts,
+            data_t, wide_t, has=has.reshape(-1),
+        )
+        a12d_b = jnp.moveaxis(a12d.reshape(3 * k_occ, b, -1), 1, 0)
+        return (a12d_b, ovf.reshape(b, n_chunks, -1)), (True, True)
+
+    def run_folded(feats_b, w0_blocks, rows, los, counts,
+                   bank_data_t, bank_wide_t, has=None):
+        if has is None:
+            has = jnp.ones((rows.shape[0],), jnp.int32)
+        return cv(feats_b, w0_blocks, rows, los, has, counts,
+                  bank_data_t, bank_wide_t)
+
+    return run_folded

@@ -167,6 +167,10 @@ def make_sharded_step(mesh, snow_cfg, wet_cfg=None, donate: bool = False):
 
     if mesh.shape.get("beam", 1) > 1 and snow_cfg.use_pallas:
         snow_cfg = dataclasses.replace(snow_cfg, use_pallas=False)
+    if snow_cfg.batch_fold:
+        # a folded pallas_call spanning the data-sharded batch axis would
+        # force GSPMD to all-gather the batch; keep the per-frame form
+        snow_cfg = dataclasses.replace(snow_cfg, batch_fold=False)
     pts_s, mask_s, rep = batch_shardings(mesh)
 
     fn = functools.partial(
@@ -187,6 +191,8 @@ def make_sharded_packed_step(mesh, snow_cfg, wet_cfg=None, out_points=None):
 
     if mesh.shape.get("beam", 1) > 1 and snow_cfg.use_pallas:
         snow_cfg = dataclasses.replace(snow_cfg, use_pallas=False)
+    if snow_cfg.batch_fold:
+        snow_cfg = dataclasses.replace(snow_cfg, batch_fold=False)
     pts_s, chan_s, rep = batch_shardings(mesh)
     meta_s = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec("data")

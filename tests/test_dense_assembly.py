@@ -272,3 +272,46 @@ def test_dense_slice_overflow_detected(setup):
     )
     res = _run(setup, cfg)
     assert int(res.window_overflow) > 0
+
+
+def test_batch_fold_matches_per_frame(setup):
+    """batch_fold=True folds a frame batch into ONE phase-A kernel grid
+    (custom_vmap rule); every frame's outputs must equal both the unfolded
+    vmap (serial per-frame launches) and the unbatched per-frame run."""
+    import dataclasses
+
+    calib, pc, bank, order = setup
+    base = SnowfallConfig(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, point_chunk=256,
+        assembly="dense", channel_capacity=128,
+        block_points=32, slice_width=256, chunk_group=8,
+        use_pallas=True, pallas_interpret=True,
+    )
+    padded = pad_cloud(pc, base.max_points)
+    pts = jnp.stack([jnp.asarray(padded.points)] * 2)
+    # second frame differs: reverse the channel->bank permutation
+    orders = jnp.stack(
+        [jnp.asarray(order, jnp.int32), jnp.asarray(order[::-1].copy(),
+                                                    jnp.int32)]
+    )
+    masks = jnp.stack([jnp.asarray(padded.mask)] * 2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+
+    def run_batched(cfg):
+        f = jax.vmap(
+            snowfall_augment, in_axes=(0, 0, None, None, 0, 0, None, None)
+        )
+        return jax.jit(f, static_argnames=("cfg",))(
+            pts, masks, jax.device_put(bank), calib_device_arrays(calib),
+            orders, keys, cfg,
+            (jnp.asarray(PLANE[0], jnp.float32), jnp.float32(PLANE[1])),
+        )
+
+    rf = run_batched(dataclasses.replace(base, batch_fold=True))
+    ru = run_batched(base)
+    for a, b in zip(rf, ru):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and against the unbatched single-frame path
+    r0 = _run(setup, dataclasses.replace(base, batch_fold=True))
+    np.testing.assert_array_equal(np.asarray(rf.points[0]), r0.points)
