@@ -1,0 +1,680 @@
+"""TPU-native PointPillars detector (OpenPCDet-compatible).
+
+The reference's live-inference path (`pointcloud_viewer.py:2388-2498`) builds
+an OpenPCDet network from an experiment directory (`init_config` picks the
+``*.yaml``, `init_model` the ``*.pth``), feeds the currently displayed cloud
+through ``model.forward`` and renders ``pred_boxes/pred_labels/pred_scores``
+as a (N, 9) prediction array (`:2428-2436`). This module provides the same
+contract TPU-first:
+
+- parameters are a flat ``{openpcdet_state_dict_name: array}`` dict, so a
+  trained OpenPCDet checkpoint converts mechanically
+  (`tools/convert_checkpoint.py`) and `init_params` creates the same shapes
+  from scratch;
+- the whole forward pass is one jittable fixed-shape function: sort-based
+  pillar voxelization (no serial voxel hashing), PFN matmul, one unique-index
+  BEV scatter, an NCHW conv backbone that rides the MXU, and a fixed-shape
+  rotated NMS (`ops/rotated_iou.py`);
+- every capacity (pillars, points/pillar, NMS pre/post) is static, with
+  dropped-work COUNTERS in the output — OpenPCDet itself truncates voxels
+  and points silently; here the truncation is reproduced (it is reference
+  semantics) but counted.
+
+Semantics follow the public OpenPCDet PointPillars implementation consumed
+by the reference (`pcdet/models/detectors/pointpillar.py` and friends —
+the submodule is not checked into the reference snapshot, so hyperparameters
+are carried by `PointPillarsConfig` and can be loaded from the experiment's
+own yaml via `config_from_openpcdet_yaml`): PillarVFE 10-feature encoding,
+PointPillarScatter, BaseBEVBackbone (3 stages + upsample concat),
+AnchorHeadSingle with the 7-DoF residual box coder and two direction bins.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Mapping, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_snow_sim_tpu.ops.rotated_iou import nms_rotated
+
+_BN_EPS = 1e-3  # pcdet uses BatchNorm(eps=1e-3, momentum=0.01) throughout
+
+
+@dataclasses.dataclass(frozen=True)
+class PointPillarsConfig:
+    """Static PointPillars hyperparameters (OpenPCDet yaml equivalents).
+
+    Defaults mirror OpenPCDet's public ``pointpillar.yaml`` (KITTI); the
+    DENSE experiments ship their own yaml inside the experiment directory,
+    which `config_from_openpcdet_yaml` maps onto these fields.
+    """
+
+    class_names: tuple = ("Car", "Pedestrian", "Cyclist")
+    # DATA_CONFIG.POINT_CLOUD_RANGE [x0, y0, z0, x1, y1, z1]
+    point_cloud_range: tuple = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
+    # DATA_PROCESSOR transform_points_to_voxels
+    voxel_size: tuple = (0.16, 0.16, 4.0)
+    max_points_per_pillar: int = 32
+    max_pillars: int = 12000
+    # MODEL.VFE
+    pfn_filters: tuple = (64,)
+    # MODEL.BACKBONE_2D
+    layer_nums: tuple = (3, 5, 5)
+    layer_strides: tuple = (2, 2, 2)
+    num_filters: tuple = (64, 128, 256)
+    upsample_strides: tuple = (1, 2, 4)
+    num_upsample_filters: tuple = (128, 128, 128)
+    # MODEL.DENSE_HEAD (AnchorHeadSingle); one (sizes, bottom, rots) per class
+    anchor_sizes: tuple = (
+        (3.9, 1.6, 1.56), (0.8, 0.6, 1.73), (1.76, 0.6, 1.73)
+    )
+    anchor_bottom_heights: tuple = (-1.78, -0.6, -0.6)
+    anchor_rotations: tuple = (0.0, 1.5707963)
+    anchor_match_thresholds: tuple = (0.6, 0.5, 0.5)
+    anchor_unmatch_thresholds: tuple = (0.45, 0.35, 0.35)
+    feature_map_stride: int = 2
+    dir_offset: float = 0.78539
+    dir_limit_offset: float = 0.0
+    num_dir_bins: int = 2
+    # MODEL.POST_PROCESSING
+    score_thresh: float = 0.1
+    nms_thresh: float = 0.01
+    nms_pre_max: int = 4096
+    nms_post_max: int = 500
+    # compute dtype for the conv backbone ("float32" | "bfloat16"); bf16
+    # feeds the MXU at 2x, outputs/decodes stay f32
+    compute_dtype: str = "float32"
+
+    @property
+    def grid_size(self) -> tuple:
+        """(nx, ny, nz) full-resolution voxel grid."""
+        r = self.point_cloud_range
+        v = self.voxel_size
+        return (
+            int(round((r[3] - r[0]) / v[0])),
+            int(round((r[4] - r[1]) / v[1])),
+            int(round((r[5] - r[2]) / v[2])),
+        )
+
+    @property
+    def feature_map_size(self) -> tuple:
+        """(ny_f, nx_f) anchor/head grid (backbone output stride)."""
+        nx, ny, _ = self.grid_size
+        s = self.feature_map_stride
+        return (ny // s, nx // s)
+
+    @property
+    def num_anchors_per_loc(self) -> int:
+        return len(self.class_names) * len(self.anchor_rotations)
+
+
+def config_from_openpcdet_yaml(path) -> PointPillarsConfig:
+    """Parse the subset of an OpenPCDet experiment yaml this engine needs.
+
+    Mirrors the fields `init_config` touches (`pointcloud_viewer.py:
+    2438-2457`); unknown sections are ignored so any pointpillar-family
+    experiment yaml loads.
+    """
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+
+    kw: dict = {}
+    if "CLASS_NAMES" in cfg:
+        kw["class_names"] = tuple(cfg["CLASS_NAMES"])
+    data = cfg.get("DATA_CONFIG", {})
+    if "POINT_CLOUD_RANGE" in data:
+        kw["point_cloud_range"] = tuple(float(v) for v in data["POINT_CLOUD_RANGE"])
+    for proc in data.get("DATA_PROCESSOR", []):
+        if proc.get("NAME") == "transform_points_to_voxels":
+            kw["voxel_size"] = tuple(float(v) for v in proc["VOXEL_SIZE"])
+            kw["max_points_per_pillar"] = int(proc["MAX_POINTS_PER_VOXEL"])
+            mv = proc.get("MAX_NUMBER_OF_VOXELS", {})
+            if isinstance(mv, Mapping):
+                kw["max_pillars"] = int(mv.get("test", mv.get("train", 12000)))
+            else:
+                kw["max_pillars"] = int(mv)
+    model = cfg.get("MODEL", {})
+    vfe = model.get("VFE", {})
+    if "NUM_FILTERS" in vfe:
+        kw["pfn_filters"] = tuple(int(v) for v in vfe["NUM_FILTERS"])
+    bb = model.get("BACKBONE_2D", {})
+    for src, dst in (
+        ("LAYER_NUMS", "layer_nums"), ("LAYER_STRIDES", "layer_strides"),
+        ("NUM_FILTERS", "num_filters"),
+        ("UPSAMPLE_STRIDES", "upsample_strides"),
+        ("NUM_UPSAMPLE_FILTERS", "num_upsample_filters"),
+    ):
+        if src in bb:
+            kw[dst] = tuple(int(v) for v in bb[src])
+    head = model.get("DENSE_HEAD", {})
+    agc = head.get("ANCHOR_GENERATOR_CONFIG", [])
+    if agc:
+        kw["anchor_sizes"] = tuple(
+            tuple(float(x) for x in a["anchor_sizes"][0]) for a in agc
+        )
+        kw["anchor_bottom_heights"] = tuple(
+            float(a["anchor_bottom_heights"][0]) for a in agc
+        )
+        kw["anchor_rotations"] = tuple(
+            float(r) for r in agc[0]["anchor_rotations"]
+        )
+        kw["anchor_match_thresholds"] = tuple(
+            float(a["matched_threshold"]) for a in agc
+        )
+        kw["anchor_unmatch_thresholds"] = tuple(
+            float(a["unmatched_threshold"]) for a in agc
+        )
+        kw["feature_map_stride"] = int(
+            agc[0].get("feature_map_stride", 2)
+        )
+    if "DIR_OFFSET" in head:
+        kw["dir_offset"] = float(head["DIR_OFFSET"])
+    if "DIR_LIMIT_OFFSET" in head:
+        kw["dir_limit_offset"] = float(head["DIR_LIMIT_OFFSET"])
+    if "NUM_DIR_BINS" in head:
+        kw["num_dir_bins"] = int(head["NUM_DIR_BINS"])
+    post = model.get("POST_PROCESSING", {})
+    if "SCORE_THRESH" in post:
+        kw["score_thresh"] = float(post["SCORE_THRESH"])
+    nms = post.get("NMS_CONFIG", {})
+    if "NMS_THRESH" in nms:
+        kw["nms_thresh"] = float(nms["NMS_THRESH"])
+    if "NMS_PRE_MAXSIZE" in nms:
+        kw["nms_pre_max"] = int(nms["NMS_PRE_MAXSIZE"])
+    if "NMS_POST_MAXSIZE" in nms:
+        kw["nms_post_max"] = int(nms["NMS_POST_MAXSIZE"])
+    return PointPillarsConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# parameters
+
+
+def param_shapes(cfg: PointPillarsConfig) -> dict:
+    """{openpcdet_state_dict_name: shape} for every learnable/stat array."""
+    shapes: dict = {}
+
+    def bn(prefix, c):
+        shapes[f"{prefix}.weight"] = (c,)
+        shapes[f"{prefix}.bias"] = (c,)
+        shapes[f"{prefix}.running_mean"] = (c,)
+        shapes[f"{prefix}.running_var"] = (c,)
+
+    in_ch = 10
+    for i, c in enumerate(cfg.pfn_filters):
+        shapes[f"vfe.pfn_layers.{i}.linear.weight"] = (c, in_ch)
+        bn(f"vfe.pfn_layers.{i}.norm", c)
+        in_ch = c
+
+    c_in = cfg.pfn_filters[-1]
+    for i, (n, s, c) in enumerate(
+        zip(cfg.layer_nums, cfg.layer_strides, cfg.num_filters)
+    ):
+        # Sequential [ZeroPad2d, Conv2d, BN, ReLU, (Conv2d, BN, ReLU) * n]
+        shapes[f"backbone_2d.blocks.{i}.1.weight"] = (c, c_in, 3, 3)
+        bn(f"backbone_2d.blocks.{i}.2", c)
+        for j in range(n):
+            shapes[f"backbone_2d.blocks.{i}.{3 * j + 4}.weight"] = (c, c, 3, 3)
+            bn(f"backbone_2d.blocks.{i}.{3 * j + 5}", c)
+        c_in = c
+    for i, (u, c, cu) in enumerate(
+        zip(cfg.upsample_strides, cfg.num_filters, cfg.num_upsample_filters)
+    ):
+        if u >= 1:
+            # ConvTranspose2d(c, cu, u, stride=u): torch weight (in, out, k, k)
+            shapes[f"backbone_2d.deblocks.{i}.0.weight"] = (c, cu, u, u)
+        else:  # downsample conv variant (stride 1/u)
+            k = int(round(1 / u))
+            shapes[f"backbone_2d.deblocks.{i}.0.weight"] = (cu, c, k, k)
+        bn(f"backbone_2d.deblocks.{i}.1", cu)
+
+    c_cat = sum(cfg.num_upsample_filters)
+    a = cfg.num_anchors_per_loc
+    ncls = len(cfg.class_names)
+    shapes["dense_head.conv_cls.weight"] = (a * ncls, c_cat, 1, 1)
+    shapes["dense_head.conv_cls.bias"] = (a * ncls,)
+    shapes["dense_head.conv_box.weight"] = (a * 7, c_cat, 1, 1)
+    shapes["dense_head.conv_box.bias"] = (a * 7,)
+    shapes["dense_head.conv_dir_cls.weight"] = (a * cfg.num_dir_bins, c_cat, 1, 1)
+    shapes["dense_head.conv_dir_cls.bias"] = (a * cfg.num_dir_bins,)
+    return shapes
+
+
+def init_params(cfg: PointPillarsConfig, key: jax.Array) -> dict:
+    """Random-init parameters (kaiming-style fans; pcdet head init:
+    conv_cls bias = -log((1-0.01)/0.01), conv_box.weight ~ N(0, 0.001)).
+
+    Every 1-D `.weight` in the shape table is a BN affine (the PFN linear
+    and all convs are bias-free except the three head convs), so init is
+    decided by shape: 1-D weight -> 1, bias/mean -> 0, var -> 1."""
+    shapes = param_shapes(cfg)
+    params: dict = {}
+    keys = jax.random.split(key, len(shapes))
+    for (name, shape), k in zip(sorted(shapes.items()), keys):
+        if name == "dense_head.conv_cls.bias":
+            params[name] = jnp.full(
+                shape, -math.log((1 - 0.01) / 0.01), jnp.float32
+            )
+        elif name == "dense_head.conv_box.weight":
+            params[name] = 0.001 * jax.random.normal(k, shape, jnp.float32)
+        elif len(shape) == 1:
+            one = name.endswith(("running_var",)) or name.endswith(".weight")
+            params[name] = (
+                jnp.ones(shape, jnp.float32) if one
+                else jnp.zeros(shape, jnp.float32)
+            )
+        else:
+            fan_in = int(np.prod(shape[1:]))
+            std = math.sqrt(2.0 / max(fan_in, 1))
+            params[name] = std * jax.random.normal(k, shape, jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# voxelization
+
+
+class VoxelizeResult(NamedTuple):
+    """Pillar tensors + truncation counters (a pytree)."""
+
+    pillars: Any         # (V, P, 4)
+    coords: Any          # (V, 3) int32, (z, y, x)
+    num_points: Any      # (V,) int32
+    num_pillars: Any     # scalar int32
+    points_dropped: Any  # scalar int32
+    pillars_dropped: Any  # scalar int32
+
+
+def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
+             cfg: PointPillarsConfig) -> VoxelizeResult:
+    """Fixed-shape pillar voxelization with OpenPCDet VoxelGenerator
+    semantics: pillars ordered by FIRST APPEARANCE of their voxel in the
+    point stream, each keeping its first `max_points_per_pillar` points in
+    stream order; pillars beyond `max_pillars` and points beyond the
+    per-pillar cap are dropped (as pcdet does) but COUNTED.
+
+    points: (N, 4) [x, y, z, feat]; valid: (N,) bool.
+    Returns pillars (V, P, 4), coords (V, 3) int32 (z, y, x order — pcdet's
+    coordinate convention), num_points (V,), num_pillars scalar, and the
+    points_dropped / pillars_dropped counters. Implementation is two sorts +
+    one unique-index scatter — no serial hashing, no data-dependent shapes.
+    """
+    n = points.shape[0]
+    vmax, pmax = cfg.max_pillars, cfg.max_points_per_pillar
+    r = cfg.point_cloud_range
+    nx, ny, nz = cfg.grid_size
+
+    ix = jnp.floor((points[:, 0] - r[0]) / cfg.voxel_size[0]).astype(jnp.int32)
+    iy = jnp.floor((points[:, 1] - r[1]) / cfg.voxel_size[1]).astype(jnp.int32)
+    iz = jnp.floor((points[:, 2] - r[2]) / cfg.voxel_size[2]).astype(jnp.int32)
+    in_range = (
+        valid
+        & (ix >= 0) & (ix < nx)
+        & (iy >= 0) & (iy < ny)
+        & (iz >= 0) & (iz < nz)
+    )
+    vid = jnp.where(in_range, (iz * ny + iy) * nx + ix, jnp.int32(2**31 - 1))
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # sort by (vid, idx): runs of equal vid, stream order within a run
+    order = jnp.lexsort((idx, vid))
+    svid = vid[order]
+    sidx = idx[order]
+    sval = in_range[order]
+
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
+    ) & sval
+    # position of the current run's head (positions ascend, so cummax works)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    head_pos = jax.lax.cummax(jnp.where(head, pos, -1))
+    within = pos - head_pos                       # rank inside the pillar
+    first_idx = sidx[jnp.maximum(head_pos, 0)]    # stream idx of pillar head
+
+    # pillar rank = first-appearance order = rank of first_idx among heads
+    head_key = jnp.where(head, first_idx, jnp.int32(n))
+    run_rank_order = jnp.argsort(head_key)        # heads first, by appearance
+    # invert: rank_of_position[p] = rank of the run whose head sits at p
+    rank_of_pos = jnp.zeros(n, jnp.int32).at[run_rank_order].set(pos)
+    vrank = rank_of_pos[jnp.maximum(head_pos, 0)]
+
+    ok = sval & (vrank < vmax) & (within < pmax)
+    points_dropped = jnp.sum(sval & ~ok)  # over-cap or dropped-pillar points
+    n_pillars_total = jnp.sum(head)
+    num_pillars = jnp.minimum(n_pillars_total, vmax)
+    pillars_dropped = n_pillars_total - num_pillars
+
+    slot = jnp.where(ok, vrank * pmax + within, vmax * pmax)
+    flat = jnp.zeros((vmax * pmax + 1, 4), points.dtype)
+    flat = flat.at[slot].set(
+        jnp.where(ok[:, None], points[order], 0.0), mode="drop"
+    )
+    pillars = flat[:-1].reshape(vmax, pmax, 4)
+
+    # per-pillar point count (capped) + coords via the same unique slots
+    head_slot = jnp.where(head & (vrank < vmax), vrank, vmax)
+    coords_flat = jnp.zeros((vmax + 1, 3), jnp.int32)
+    zyx = jnp.stack(
+        [svid // (nx * ny), (svid // nx) % ny, svid % nx], axis=-1
+    ).astype(jnp.int32)
+    coords_flat = coords_flat.at[head_slot].set(
+        jnp.where((head & (vrank < vmax))[:, None], zyx, 0), mode="drop"
+    )
+    coords = coords_flat[:-1]
+
+    counts = jnp.zeros((vmax + 1,), jnp.int32).at[
+        jnp.where(ok, vrank, vmax)
+    ].add(jnp.where(ok, 1, 0), mode="drop")[:-1]
+
+    return VoxelizeResult(
+        pillars=pillars,
+        coords=coords,
+        num_points=counts,
+        num_pillars=num_pillars,
+        points_dropped=points_dropped,
+        pillars_dropped=pillars_dropped,
+    )
+
+
+# ---------------------------------------------------------------------------
+# network blocks
+
+
+def _bn(x, params, prefix, axis=-1):
+    """Inference batch norm from running stats (pcdet eps=1e-3)."""
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+
+    def g(s):
+        return params[f"{prefix}.{s}"].astype(x.dtype).reshape(shape)
+
+    inv = jax.lax.rsqrt(
+        params[f"{prefix}.running_var"].astype(jnp.float32) + _BN_EPS
+    ).astype(x.dtype).reshape(shape)
+    return (x - g("running_mean")) * inv * g("weight") + g("bias")
+
+
+def pillar_features(vox: VoxelizeResult, cfg: PointPillarsConfig):
+    """PillarVFE's 10-feature encoding: [xyzi, cluster offset, center
+    offset] with padded points zeroed (pcdet PillarVFE.forward)."""
+    pts = vox.pillars                                     # (V, P, 4)
+    cnt = jnp.maximum(vox.num_points, 1)[:, None, None].astype(pts.dtype)
+    pmask = (
+        jnp.arange(cfg.max_points_per_pillar)[None, :]
+        < vox.num_points[:, None]
+    )[..., None].astype(pts.dtype)                        # (V, P, 1)
+
+    mean = jnp.sum(pts[..., :3] * pmask, axis=1, keepdims=True) / cnt
+    f_cluster = pts[..., :3] - mean
+
+    r = cfg.point_cloud_range
+    vx, vy, vz = cfg.voxel_size
+    cx = vox.coords[:, 2:3].astype(pts.dtype) * vx + (vx / 2 + r[0])
+    cy = vox.coords[:, 1:2].astype(pts.dtype) * vy + (vy / 2 + r[1])
+    cz = vox.coords[:, 0:1].astype(pts.dtype) * vz + (vz / 2 + r[2])
+    f_center = jnp.stack(
+        [
+            pts[..., 0] - cx[:, None, 0],
+            pts[..., 1] - cy[:, None, 0],
+            pts[..., 2] - cz[:, None, 0],
+        ],
+        axis=-1,
+    )
+    feat = jnp.concatenate([pts, f_cluster, f_center], axis=-1)  # (V, P, 10)
+    return feat * pmask
+
+
+def pfn_forward(feat, params, cfg: PointPillarsConfig):
+    """PFN: linear -> BN -> ReLU -> max over points. (V, P, 10) -> (V, C)."""
+    x = feat
+    for i, _c in enumerate(cfg.pfn_filters):
+        w = params[f"vfe.pfn_layers.{i}.linear.weight"]    # (C, in)
+        x = jnp.einsum("vpf,cf->vpc", x, w.astype(x.dtype))
+        x = _bn(x, params, f"vfe.pfn_layers.{i}.norm")
+        x = jax.nn.relu(x)
+    return jnp.max(x, axis=1)                              # (V, C)
+
+
+def scatter_bev(pfeat, vox, cfg: PointPillarsConfig):
+    """PointPillarScatter: (V, C) -> (C, ny, nx) via one unique scatter."""
+    nx, ny, _ = cfg.grid_size
+    v = pfeat.shape[0]
+    live = jnp.arange(v) < vox.num_pillars
+    flat_ix = jnp.where(
+        live, vox.coords[:, 1] * nx + vox.coords[:, 2], ny * nx
+    )
+    canvas = jnp.zeros((ny * nx + 1, pfeat.shape[1]), pfeat.dtype)
+    canvas = canvas.at[flat_ix].set(
+        jnp.where(live[:, None], pfeat, 0.0), mode="drop"
+    )
+    return canvas[:-1].T.reshape(pfeat.shape[1], ny, nx)
+
+
+def _conv(x, w, stride=1, padding=1):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride),
+        [(padding, padding)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+def _deconv(x, w, stride):
+    # torch ConvTranspose2d(k=stride, stride=stride, pad 0): weight (I,O,k,k)
+    return jax.lax.conv_transpose(
+        x, w.astype(x.dtype), (stride, stride), "VALID",
+        dimension_numbers=("NCHW", "IOHW", "NCHW"),
+    )
+
+
+def backbone_forward(spatial, params, cfg: PointPillarsConfig):
+    """BaseBEVBackbone: stages of stride-s conv + n 3x3 convs, each stage
+    upsampled back to stride `feature_map_stride` and channel-concat."""
+    x = spatial[None]                                      # (1, C, ny, nx)
+    ups = []
+    for i, (n, s) in enumerate(zip(cfg.layer_nums, cfg.layer_strides)):
+        # pcdet pads with ZeroPad2d(1) then convs with padding=0: same as
+        # a padding-1 strided conv
+        x = _conv(x, params[f"backbone_2d.blocks.{i}.1.weight"], stride=s)
+        x = _bn(x, params, f"backbone_2d.blocks.{i}.2", axis=1)
+        x = jax.nn.relu(x)
+        for j in range(n):
+            x = _conv(x, params[f"backbone_2d.blocks.{i}.{3 * j + 4}.weight"])
+            x = _bn(x, params, f"backbone_2d.blocks.{i}.{3 * j + 5}", axis=1)
+            x = jax.nn.relu(x)
+        u = cfg.upsample_strides[i]
+        w = params[f"backbone_2d.deblocks.{i}.0.weight"]
+        if u > 1:
+            y = _deconv(x, w, u)
+        elif u == 1:
+            y = _deconv(x, w, 1)
+        else:
+            k = int(round(1 / u))
+            y = _conv(x, w, stride=k, padding=0)
+        y = _bn(y, params, f"backbone_2d.deblocks.{i}.1", axis=1)
+        ups.append(jax.nn.relu(y))
+    return jnp.concatenate(ups, axis=1)                    # (1, 384, H, W)
+
+
+def head_forward(feat, params, cfg: PointPillarsConfig):
+    """AnchorHeadSingle 1x1 convs -> (H, W, A, {ncls, 7, nbins})."""
+    h, w = feat.shape[2], feat.shape[3]
+    a = cfg.num_anchors_per_loc
+    ncls = len(cfg.class_names)
+
+    def conv1(name):
+        y = _conv(feat, params[f"dense_head.{name}.weight"], padding=0)
+        y = y + params[f"dense_head.{name}.bias"].astype(y.dtype)[
+            None, :, None, None
+        ]
+        # pcdet permutes NCHW -> NHWC before flattening
+        return jnp.transpose(y[0], (1, 2, 0))
+
+    cls = conv1("conv_cls").reshape(h, w, a, ncls)
+    box = conv1("conv_box").reshape(h, w, a, 7)
+    dir_ = conv1("conv_dir_cls").reshape(h, w, a, cfg.num_dir_bins)
+    return cls.astype(jnp.float32), box.astype(jnp.float32), dir_.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# anchors + box coder
+
+
+def generate_anchors(cfg: PointPillarsConfig) -> np.ndarray:
+    """(H, W, A, 7) anchor grid, A ordered class-major then rotation —
+    matching pcdet AnchorGenerator (align_center=False: anchors sit on
+    grid_size/stride cell corners scaled to the range) and the head's
+    channel layout."""
+    h, w = cfg.feature_map_size
+    r = cfg.point_cloud_range
+    # pcdet (align_center False): x_stride = (x1 - x0) / (nx_f - 1)
+    xs = np.linspace(r[0], r[3], w, dtype=np.float64)
+    ys = np.linspace(r[1], r[4], h, dtype=np.float64)
+    anchors = np.zeros((h, w, cfg.num_anchors_per_loc, 7), np.float64)
+    a = 0
+    for ci, size in enumerate(cfg.anchor_sizes):
+        z = cfg.anchor_bottom_heights[ci] + size[2] / 2
+        for rot in cfg.anchor_rotations:
+            anchors[:, :, a, 0] = xs[None, :]
+            anchors[:, :, a, 1] = ys[:, None]
+            anchors[:, :, a, 2] = z
+            anchors[:, :, a, 3:6] = size
+            anchors[:, :, a, 6] = rot
+            a += 1
+    return anchors.astype(np.float32)
+
+
+def decode_boxes(box_preds, anchors):
+    """pcdet ResidualCoder.decode_torch (7-DoF, angle as residual)."""
+    xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors, 7, axis=-1)
+    xt, yt, zt, dxt, dyt, dzt, rt = jnp.split(box_preds, 7, axis=-1)
+    diag = jnp.sqrt(dxa**2 + dya**2)
+    xg = xt * diag + xa
+    yg = yt * diag + ya
+    zg = zt * dza + za
+    dxg = jnp.exp(dxt) * dxa
+    dyg = jnp.exp(dyt) * dya
+    dzg = jnp.exp(dzt) * dza
+    rg = rt + ra
+    return jnp.concatenate([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+
+
+def encode_boxes(gt, anchors):
+    """pcdet ResidualCoder.encode_torch (dx/dy/dz floored at 1e-5)."""
+    xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors, 7, axis=-1)
+    xg, yg, zg, dxg, dyg, dzg, rg = jnp.split(gt, 7, axis=-1)
+    dxg = jnp.maximum(dxg, 1e-5)
+    dyg = jnp.maximum(dyg, 1e-5)
+    dzg = jnp.maximum(dzg, 1e-5)
+    diag = jnp.sqrt(dxa**2 + dya**2)
+    return jnp.concatenate(
+        [
+            (xg - xa) / diag, (yg - ya) / diag, (zg - za) / dza,
+            jnp.log(dxg / dxa), jnp.log(dyg / dya), jnp.log(dzg / dza),
+            rg - ra,
+        ],
+        axis=-1,
+    )
+
+
+def limit_period(val, offset, period):
+    return val - jnp.floor(val / period + offset) * period
+
+
+# ---------------------------------------------------------------------------
+# full forward
+
+
+class Predictions(NamedTuple):
+    """Fixed-shape detections (padded to nms_post_max) + counters."""
+
+    boxes: Any            # (post_max, 7)
+    scores: Any           # (post_max,)
+    labels: Any           # (post_max,) int32, 1-based like pcdet
+    count: Any            # scalar int32
+    points_dropped: Any = 0
+    pillars_dropped: Any = 0
+
+
+def forward_features(points, valid, params, cfg: PointPillarsConfig):
+    """points (N, 4) -> (cls, box, dir) feature-map predictions + vox."""
+    vox = voxelize(points, valid, cfg)
+    feat = pillar_features(vox, cfg)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    pfeat = pfn_forward(feat.astype(dtype), params, cfg)
+    live = (jnp.arange(cfg.max_pillars) < vox.num_pillars)[:, None]
+    spatial = scatter_bev(pfeat * live.astype(pfeat.dtype), vox, cfg)
+    bev = backbone_forward(spatial, params, cfg)
+    cls, box, dir_ = head_forward(bev, params, cfg)
+    return cls, box, dir_, vox
+
+
+def post_process(cls, box, dir_, anchors, cfg: PointPillarsConfig):
+    """Sigmoid scores -> class-agnostic rotated NMS (pcdet post_processing
+    with MULTI_CLASSES_NMS False): per-anchor best class, score threshold,
+    top `nms_pre_max`, rotated NMS at `nms_thresh`, keep `nms_post_max`."""
+    scores_all = jax.nn.sigmoid(cls.reshape(-1, cls.shape[-1]))
+    scores = jnp.max(scores_all, axis=-1)
+    labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32) + 1
+
+    boxes = decode_boxes(
+        box.reshape(-1, 7), anchors.reshape(-1, 7)
+    )
+    dir_labels = jnp.argmax(
+        dir_.reshape(-1, cfg.num_dir_bins), axis=-1
+    )
+    period = 2 * math.pi / cfg.num_dir_bins
+    rot = limit_period(
+        boxes[:, 6] - cfg.dir_offset, cfg.dir_limit_offset, period
+    )
+    heading = rot + cfg.dir_offset + period * dir_labels.astype(jnp.float32)
+    boxes = boxes.at[:, 6].set(heading)
+
+    ok = scores > cfg.score_thresh
+    top_scores, top_ix = jax.lax.top_k(
+        jnp.where(ok, scores, -1.0), cfg.nms_pre_max
+    )
+    top_valid = top_scores > cfg.score_thresh
+    top_boxes = boxes[top_ix]
+    keep, count = nms_rotated(
+        top_boxes[:, [0, 1, 3, 4, 6]], top_scores, top_valid,
+        iou_threshold=cfg.nms_thresh, post_max=cfg.nms_post_max,
+    )
+    sel = jnp.maximum(keep, 0)
+    kmask = keep >= 0
+    return Predictions(
+        boxes=jnp.where(kmask[:, None], top_boxes[sel], 0.0),
+        scores=jnp.where(kmask, top_scores[sel], 0.0),
+        labels=jnp.where(kmask, labels[top_ix][sel], 0),
+        count=count.astype(jnp.int32),
+    )
+
+
+def detect(points, valid, params, anchors, cfg: PointPillarsConfig):
+    """Full jittable inference: (N, 4) cloud -> Predictions + counters.
+
+    The (K, 9) array the viewer renders (`pointcloud_viewer.py:2428-2433`:
+    [box7, label, score]) is `predictions_array(preds)` of this output.
+    """
+    cls, box, dir_, vox = forward_features(points, valid, params, cfg)
+    preds = post_process(cls, box, dir_, anchors, cfg)
+    return preds._replace(
+        points_dropped=vox.points_dropped,
+        pillars_dropped=vox.pillars_dropped,
+    )
+
+
+def predictions_array(preds: Predictions) -> np.ndarray:
+    """(count, 9) numpy [x y z dx dy dz heading label score] — the
+    reference's prediction-array contract (`pointcloud_viewer.py:2428-2436`)."""
+    k = int(preds.count)
+    out = np.zeros((k, 9), np.float32)
+    out[:, :7] = np.asarray(preds.boxes)[:k]
+    out[:, 7] = np.asarray(preds.labels)[:k]
+    out[:, 8] = np.asarray(preds.scores)[:k]
+    return out
