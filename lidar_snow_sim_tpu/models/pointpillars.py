@@ -386,13 +386,45 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
 # network blocks
 
 
-def _bn(x, params, prefix, axis=-1):
-    """Inference batch norm from running stats (pcdet eps=1e-3)."""
+_BN_MOMENTUM = 0.01  # pcdet BatchNorm momentum
+
+
+def _bn(x, params, prefix, axis=-1, *, train=False, stats=None, mask=None):
+    """Batch norm (pcdet eps=1e-3, momentum=0.01).
+
+    Inference: running stats. Training (train=True): batch statistics over
+    every non-`axis` dim (optionally `mask`-weighted, for fixed-shape pads
+    pcdet's dynamic shapes never see), with updated running stats written
+    into the `stats` dict (same keys as params — merge after the step).
+    """
     shape = [1] * x.ndim
     shape[axis] = x.shape[axis]
 
     def g(s):
         return params[f"{prefix}.{s}"].astype(x.dtype).reshape(shape)
+
+    if train:
+        red = tuple(i for i in range(x.ndim) if i != axis % x.ndim)
+        xf = x.astype(jnp.float32)
+        if mask is None:
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+        else:
+            w = jnp.broadcast_to(mask.astype(jnp.float32), x.shape)
+            n = jnp.maximum(jnp.sum(w, axis=red), 1.0)
+            mean = jnp.sum(xf * w, axis=red) / n
+            var = jnp.sum(jnp.square(xf) * w, axis=red) / n - jnp.square(mean)
+        if stats is not None:
+            m = _BN_MOMENTUM
+            stats[f"{prefix}.running_mean"] = (
+                (1 - m) * params[f"{prefix}.running_mean"] + m * mean
+            )
+            stats[f"{prefix}.running_var"] = (
+                (1 - m) * params[f"{prefix}.running_var"] + m * var
+            )
+        inv = jax.lax.rsqrt(var + _BN_EPS).astype(x.dtype).reshape(shape)
+        mu = mean.astype(x.dtype).reshape(shape)
+        return (x - mu) * inv * g("weight") + g("bias")
 
     inv = jax.lax.rsqrt(
         params[f"{prefix}.running_var"].astype(jnp.float32) + _BN_EPS
@@ -430,15 +462,23 @@ def pillar_features(vox: VoxelizeResult, cfg: PointPillarsConfig):
     return feat * pmask
 
 
-def pfn_forward(feat, params, cfg: PointPillarsConfig):
-    """PFN: linear -> BN -> ReLU -> max over points. (V, P, 10) -> (V, C)."""
+def pfn_forward(feat, params, cfg: PointPillarsConfig, *,
+                train=False, stats=None, live=None):
+    """PFN: linear -> BN -> ReLU -> max over points. (V, P, 10) -> (V, C).
+
+    In training, batch stats are weighted by the `live` pillar mask —
+    pcdet's pillar tensors are dynamically sized so dead fixed-shape slots
+    must not dilute the statistics (padded POINTS inside a live pillar do
+    contribute, as in pcdet)."""
     x = feat
+    mask = None if live is None else live[..., None, None]
     for i, _c in enumerate(cfg.pfn_filters):
         w = params[f"vfe.pfn_layers.{i}.linear.weight"]    # (C, in)
-        x = jnp.einsum("vpf,cf->vpc", x, w.astype(x.dtype))
-        x = _bn(x, params, f"vfe.pfn_layers.{i}.norm")
+        x = jnp.einsum("...pf,cf->...pc", x, w.astype(x.dtype))
+        x = _bn(x, params, f"vfe.pfn_layers.{i}.norm",
+                train=train, stats=stats, mask=mask)
         x = jax.nn.relu(x)
-    return jnp.max(x, axis=1)                              # (V, C)
+    return jnp.max(x, axis=-2)                             # (V, C)
 
 
 def scatter_bev(pfeat, vox, cfg: PointPillarsConfig):
@@ -472,38 +512,43 @@ def _deconv(x, w, stride):
     )
 
 
-def backbone_forward(spatial, params, cfg: PointPillarsConfig):
+def backbone_forward(spatial, params, cfg: PointPillarsConfig, *,
+                     train=False, stats=None):
     """BaseBEVBackbone: stages of stride-s conv + n 3x3 convs, each stage
-    upsampled back to stride `feature_map_stride` and channel-concat."""
-    x = spatial[None]                                      # (1, C, ny, nx)
+    upsampled back to stride `feature_map_stride` and channel-concat.
+    Accepts (C, ny, nx) single-frame or (B, C, ny, nx) batched input."""
+    x = spatial[None] if spatial.ndim == 3 else spatial
     ups = []
     for i, (n, s) in enumerate(zip(cfg.layer_nums, cfg.layer_strides)):
         # pcdet pads with ZeroPad2d(1) then convs with padding=0: same as
         # a padding-1 strided conv
         x = _conv(x, params[f"backbone_2d.blocks.{i}.1.weight"], stride=s)
-        x = _bn(x, params, f"backbone_2d.blocks.{i}.2", axis=1)
+        x = _bn(x, params, f"backbone_2d.blocks.{i}.2", axis=1,
+                train=train, stats=stats)
         x = jax.nn.relu(x)
         for j in range(n):
             x = _conv(x, params[f"backbone_2d.blocks.{i}.{3 * j + 4}.weight"])
-            x = _bn(x, params, f"backbone_2d.blocks.{i}.{3 * j + 5}", axis=1)
+            x = _bn(x, params, f"backbone_2d.blocks.{i}.{3 * j + 5}", axis=1,
+                    train=train, stats=stats)
             x = jax.nn.relu(x)
         u = cfg.upsample_strides[i]
         w = params[f"backbone_2d.deblocks.{i}.0.weight"]
-        if u > 1:
+        if u >= 1:
             y = _deconv(x, w, u)
-        elif u == 1:
-            y = _deconv(x, w, 1)
         else:
             k = int(round(1 / u))
             y = _conv(x, w, stride=k, padding=0)
-        y = _bn(y, params, f"backbone_2d.deblocks.{i}.1", axis=1)
+        y = _bn(y, params, f"backbone_2d.deblocks.{i}.1", axis=1,
+                train=train, stats=stats)
         ups.append(jax.nn.relu(y))
-    return jnp.concatenate(ups, axis=1)                    # (1, 384, H, W)
+    return jnp.concatenate(ups, axis=1)                    # (B, 384, H, W)
 
 
-def head_forward(feat, params, cfg: PointPillarsConfig):
-    """AnchorHeadSingle 1x1 convs -> (H, W, A, {ncls, 7, nbins})."""
+def head_forward(feat, params, cfg: PointPillarsConfig, *, batched=False):
+    """AnchorHeadSingle 1x1 convs -> (H, W, A, {ncls, 7, nbins}) per frame
+    ((B, ...) with batched=True)."""
     h, w = feat.shape[2], feat.shape[3]
+    b = feat.shape[0]
     a = cfg.num_anchors_per_loc
     ncls = len(cfg.class_names)
 
@@ -513,12 +558,14 @@ def head_forward(feat, params, cfg: PointPillarsConfig):
             None, :, None, None
         ]
         # pcdet permutes NCHW -> NHWC before flattening
-        return jnp.transpose(y[0], (1, 2, 0))
+        return jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
 
-    cls = conv1("conv_cls").reshape(h, w, a, ncls)
-    box = conv1("conv_box").reshape(h, w, a, 7)
-    dir_ = conv1("conv_dir_cls").reshape(h, w, a, cfg.num_dir_bins)
-    return cls.astype(jnp.float32), box.astype(jnp.float32), dir_.astype(jnp.float32)
+    cls = conv1("conv_cls").reshape(b, h, w, a, ncls)
+    box = conv1("conv_box").reshape(b, h, w, a, 7)
+    dir_ = conv1("conv_dir_cls").reshape(b, h, w, a, cfg.num_dir_bins)
+    if not batched:
+        return cls[0], box[0], dir_[0]
+    return cls, box, dir_
 
 
 # ---------------------------------------------------------------------------
