@@ -151,6 +151,9 @@ def read_label(label_file, label_path=None, camera_to_velodyne=None):
             "truncated": vals[0],
             "occlusion": vals[1],
             "alpha": vals[2],
+            # 2D image bbox (x1, y1, x2, y2) — consumed by the KITTI
+            # difficulty buckets in utils.eval_ap (bbox height in px)
+            "bbox": (vals[3], vals[4], vals[5], vals[6]),
             "height": h,
             "width": w,
             "length": length,
