@@ -38,6 +38,20 @@ WET = os.environ.get("BENCH_WET", "0") == "1"
 # pointcloud_viewer.py:2784-2975) and report scans/s per model in the
 # stderr detail. 0 skips (saves ~8 tunnel compiles).
 WEATHER = os.environ.get("BENCH_WEATHER", "1") == "1"
+# BENCH_DETECT=1 (default): slope-time the PointPillars inference engine
+# (the viewer's run_inference surface, pointcloud_viewer.py:2388-2498) at
+# the full KITTI-scale config on the bench scan; reported in the stderr
+# detail. BENCH_DETECT_DTYPE=float32|bfloat16 (default bfloat16 — the MXU
+# production path; decode/NMS stay f32 either way).
+DETECT = os.environ.get("BENCH_DETECT", "1") == "1"
+DETECT_DTYPE = os.environ.get("BENCH_DETECT_DTYPE", "bfloat16")
+DETECT_BATCH = int(os.environ.get("BENCH_DETECT_BATCH", "4"))
+# BENCH_DETECT_TRAIN=1 (default): slope-time the full detector TRAIN step
+# (forward + backward + adam + target assignment, models/detector_train.py)
+# with the state threaded through a lax.scan — real sequential dependency,
+# so the slope is honest by construction.
+DETECT_TRAIN = os.environ.get("BENCH_DETECT_TRAIN", "1") == "1"
+DETECT_TRAIN_BATCH = int(os.environ.get("BENCH_DETECT_TRAIN_BATCH", "4"))
 
 # v5e single-chip peaks for the roofline readout (public spec: 197 bf16
 # TFLOP/s MXU, 819 GB/s HBM; VPU f32 vector throughput is ~4 TFLOP/s — the
@@ -394,6 +408,155 @@ def main():
         out["dror"] = slope(dror_step, carry_b)
         return out
 
+    def measure_detect(batch=DETECT_BATCH, iters=None):
+        """Slope-timed detector inference (models/pointpillars.detect) on
+        the bench scan at the public KITTI PointPillars scale: 432x496
+        grid, 3 classes, 12k pillars. Weights are random — every shape in
+        the engine is static, so throughput is weight-independent.
+        nms_pre_max is 1024 (capacity, counted overflow; with the 0.1
+        score threshold real scenes stay far below it)."""
+        import dataclasses as _dc
+
+        from lidar_snow_sim_tpu.models import pointpillars as pp
+
+        iters = iters or max(n_iters // 2, 4)
+        det_cfg = _dc.replace(
+            pp.PointPillarsConfig(),
+            nms_pre_max=1024,
+            compute_dtype=DETECT_DTYPE,
+        )
+        params = pp.init_params(det_cfg, jax.random.PRNGKey(0))
+        anchors = jnp.asarray(pp.generate_anchors(det_cfg))
+        pts4 = np.asarray(padded.points)[:, :4].copy()
+        pts4[:, 3] /= 255.0
+        pts_b = jnp.broadcast_to(
+            jnp.asarray(pts4), (batch,) + pts4.shape
+        )
+        msk_b = jnp.broadcast_to(
+            jnp.asarray(padded.mask), (batch,) + padded.mask.shape
+        )
+
+        def one(p, m, prm, anc):
+            return pp.detect(p, m, prm, anc, det_cfg)
+
+        vdet = jax.vmap(one, in_axes=(0, 0, None, None))
+
+        def chain(pts, msk, prm, anc, n):
+            def body(c, _):
+                out = vdet(c, msk, prm, anc)
+                nxt = pts + jnp.sum(out.scores) * 0.0
+                return nxt, (out.count, out.nms_pre_overflow)
+            _, (cnt, ovf) = jax.lax.scan(
+                body, pts, None, length=n
+            )
+            return cnt, ovf
+
+        chain_j = jax.jit(chain, static_argnames=("n",))
+        short, long_ = 2, 2 + iters
+
+        def run(n, reps=2):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                cnt, ovf = chain_j(pts_b, msk_b, params, anchors, n)
+                np.asarray(cnt)
+                ovf = np.asarray(ovf)
+                ts.append(time.time() - t0)
+            return min(ts), ovf
+
+        t_short, _ = run(short)
+        dt_tot, ovf = run(long_)
+        dt_tot -= t_short
+        while dt_tot < 0.4 and long_ < 512:
+            long_ = 2 + (long_ - 2) * 4
+            dt_tot, ovf = run(long_)
+            dt_tot = dt_tot - t_short
+        dt = max(dt_tot, 1e-9) / (long_ - short)
+        return {
+            "scans_per_sec": round(batch / dt, 1),
+            "ms_per_scan": round(dt / batch * 1e3, 3),
+            "batch": batch,
+            "dtype": DETECT_DTYPE,
+            "grid": list(det_cfg.grid_size),
+            "nms_pre_overflow": int(ovf.sum()),
+            "chain": long_,
+        }
+
+    def measure_detect_train(batch=DETECT_TRAIN_BATCH, iters=None):
+        """Slope-timed detector train step (forward + backward + adam +
+        AxisAlignedTargetAssigner) on the bench scan with synthetic GT
+        boxes. The TrainState is the lax.scan carry, so successive steps
+        have a true data dependency and the slope cannot overlap them."""
+        import dataclasses as _dc
+
+        from lidar_snow_sim_tpu.models import detector_train as dtr
+        from lidar_snow_sim_tpu.models import pointpillars as pp
+
+        iters = iters or max(n_iters // 4, 2)
+        det_cfg = _dc.replace(
+            pp.PointPillarsConfig(), compute_dtype=DETECT_DTYPE
+        )
+        params = pp.init_params(det_cfg, jax.random.PRNGKey(0))
+        anchors = pp.generate_anchors(det_cfg)
+        step, init_state = dtr.make_train_step(det_cfg, anchors)
+        state0 = init_state(params)
+
+        pts4 = np.asarray(padded.points)[:, :4].copy()
+        pts4[:, 3] /= 255.0
+        pts_b = jnp.broadcast_to(jnp.asarray(pts4), (batch,) + pts4.shape)
+        msk_b = jnp.broadcast_to(
+            jnp.asarray(padded.mask), (batch,) + padded.mask.shape
+        )
+        # synthetic GT: 24 valid boxes per frame inside the range
+        rng = np.random.default_rng(7)
+        r = det_cfg.point_cloud_range
+        g = 24
+        gt = np.zeros((batch, 32, 8), np.float32)
+        gt[:, :g, 0] = rng.uniform(r[0] + 5, r[3] - 5, (batch, g))
+        gt[:, :g, 1] = rng.uniform(r[1] + 5, r[4] - 5, (batch, g))
+        gt[:, :g, 2] = rng.uniform(-1.8, 0.0, (batch, g))
+        gt[:, :g, 3:6] = [4.0, 1.8, 1.6]
+        gt[:, :g, 6] = rng.uniform(-np.pi, np.pi, (batch, g))
+        gt[:, :g, 7] = rng.integers(1, 4, (batch, g))
+        gt_b = jnp.asarray(gt)
+
+        def chain(state, n):
+            def body(c, _):
+                c2, metrics = step(c, pts_b, msk_b, gt_b)
+                return c2, metrics["loss"]
+            return jax.lax.scan(body, state, None, length=n)
+
+        chain_j = jax.jit(chain, static_argnames=("n",))
+        short, long_ = 1, 1 + iters
+
+        def run(n, reps=2):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                out_state, losses = chain_j(state0, n)
+                loss = float(np.asarray(losses)[-1])
+                jax.block_until_ready(out_state.params)
+                ts.append(time.time() - t0)
+            return min(ts), loss
+
+        t_short, _ = run(short)
+        dt_tot, loss = run(long_)
+        dt_tot -= t_short
+        while dt_tot < 0.4 and long_ < 256:
+            long_ = 1 + (long_ - 1) * 4
+            dt_tot, loss = run(long_)
+            dt_tot = dt_tot - t_short
+        dt = max(dt_tot, 1e-9) / (long_ - short)
+        return {
+            "steps_per_sec": round(1.0 / dt, 2),
+            "scans_per_sec": round(batch / dt, 1),
+            "ms_per_step": round(dt * 1e3, 2),
+            "batch": batch,
+            "dtype": DETECT_DTYPE,
+            "final_loss": round(loss, 4),
+            "chain": long_,
+        }
+
     sweep_rows = []
     if SWEEP:
         for b in SWEEP:
@@ -433,6 +596,19 @@ def main():
             weather = measure_weather()
         except Exception as e:  # noqa: BLE001 — weather detail is best-effort
             weather = {"error": str(e)[:400]}
+
+    detector = {}
+    if DETECT:
+        try:
+            detector = measure_detect()
+        except Exception as e:  # noqa: BLE001 — detector detail is best-effort
+            detector = {"error": str(e)[:400]}
+    detector_train = {}
+    if DETECT_TRAIN:
+        try:
+            detector_train = measure_detect_train()
+        except Exception as e:  # noqa: BLE001 — best-effort detail
+            detector_train = {"error": str(e)[:400]}
 
     scans_per_sec = best["scans_per_sec"]
     points_per_sec = scans_per_sec * len(pc)
@@ -527,6 +703,8 @@ def main():
                         ),
                     },
                     "weather_models": weather or None,
+                    "detector_pointpillars": detector or None,
+                    "detector_train": detector_train or None,
                     "sweep": [
                         {k: (round(v, 3) if isinstance(v, float) else v)
                          for k, v in r.items() if k != "xla_cost"}

@@ -40,6 +40,10 @@ def __getattr__(name):
         "ParticleBank": "lidar_snow_sim_tpu.sampling.banks",
         "build_bank": "lidar_snow_sim_tpu.sampling.banks",
         "load_bank_files": "lidar_snow_sim_tpu.sampling.banks",
+        "PointPillarsConfig": "lidar_snow_sim_tpu.models.pointpillars",
+        "detect": "lidar_snow_sim_tpu.models.pointpillars",
+        "generate_anchors": "lidar_snow_sim_tpu.models.pointpillars",
+        "config_from_openpcdet_yaml": "lidar_snow_sim_tpu.models.pointpillars",
     }
     if name in lazy:
         import importlib
@@ -70,5 +74,9 @@ __all__ = [
     "ParticleBank",
     "build_bank",
     "load_bank_files",
+    "PointPillarsConfig",
+    "detect",
+    "generate_anchors",
+    "config_from_openpcdet_yaml",
     "__version__",
 ]

@@ -8,14 +8,29 @@ predicted (x, y, z, dx, dy, dz, heading) boxes; training-side target
 assignment uses the same BEV rotated overlap (AxisAlignedTargetAssigner
 with MATCH_HEIGHT False).
 
-Design: instead of a data-dependent Sutherland–Hodgman loop, the convex
-quad–quad intersection polygon's vertices are enumerated as a FIXED set of
-24 candidates (4 corners of A inside B, 4 of B inside A, 16 edge–edge
-crossings), masked, angle-sorted around their mean, and integrated with the
-shoelace formula (invalid slots collapse onto the first valid vertex, so
-their edge contributions vanish). Everything is a fixed-shape elementwise /
-small-sort computation that vmaps over arbitrary pair batches — no
-data-dependent control flow, no scatter.
+Design: instead of a data-dependent Sutherland–Hodgman loop (or the
+angle-sorted vertex-enumeration shoelace, which costs a 24-element sort +
+per-index gather PER PAIR — measured 795 ms for a 1024x1024 matrix on the
+chip), the intersection area is computed as a boundary line integral:
+
+    area(A∩B) = 1/2 ∮_{∂(A∩B)} (x dy - y dx)
+
+The boundary of the intersection of two convex sets is exactly the union
+of (a) the parts of A's edges inside B and (b) the parts of B's edges
+inside A. Each part is one Liang–Barsky segment-vs-rectangle clip (pure
+min/max arithmetic in the other box's local frame), and a straight segment
+from g0 to g1 contributes cross(g0, g1)/2 to the integral. Because the
+pieces tile one closed CCW loop, the SUM of the per-segment contributions
+equals the area — in any order, so no sorting is needed. Coincident-edge
+degeneracies (identical boxes, exterior touching, shared walls) are
+handled by weighting any clipped segment that lies ON the other box's
+boundary by 1/2: coincident traversals in the same direction merge to one
+full contribution, opposite directions cancel to zero — both exactly what
+the closed loop requires. Each pair is ~400 flops of straight-line
+elementwise math (unrolled over the 8 edges), so the vmapped (N, M)
+matrix is one fused VPU kernel with every intermediate a clean (N, M)
+plane. Pairs are re-centred at the two boxes' midpoint so the cross
+products stay well-conditioned in f32.
 """
 
 from __future__ import annotations
@@ -45,77 +60,102 @@ def box_corners_bev(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([cx, cy], axis=-1)
 
 
-def _point_in_rect(px, py, rect):
-    """Point-in-rectangle via the rect's local frame (rect = (5,) box)."""
-    x, y, dx, dy, h = (rect[i] for i in range(5))
-    c, s = jnp.cos(h), jnp.sin(h)
-    tx = px - x
-    ty = py - y
-    lx = tx * c + ty * s
-    ly = -tx * s + ty * c
-    # pcdet's check_in_box2d uses a 1e-5 margin on the half extents; keep a
-    # small epsilon so shared-edge corners count as inside (area-neutral).
-    return (jnp.abs(lx) <= 0.5 * dx + 1e-5) & (jnp.abs(ly) <= 0.5 * dy + 1e-5)
+_BOUND_EPS = 1e-5   # pcdet's check_in_box2d half-extent margin
 
 
-def _seg_intersections(ca: jnp.ndarray, cb: jnp.ndarray):
-    """All 16 edge-edge crossing candidates of two quads.
+def _corner_xy(x, y, c, s, lx, ly):
+    """One rectangle corner from centre, cos/sin(heading), local offsets."""
+    return x + lx * c - ly * s, y + lx * s + ly * c
 
-    ca, cb: (4, 2) corner arrays. Returns (16, 2) points + (16,) validity.
+
+def _clip_contrib(p0x, p0y, p1x, p1y, rx, ry, rc, rs, hx, hy):
+    """Boundary-integral contribution of edge (p0 -> p1) clipped to rect.
+
+    rect: centre (rx, ry), cos/sin(heading) (rc, rs), half extents (hx, hy).
+    Returns (cross(g0, g1)/2 of the clipped sub-segment, on_boundary flag).
+    Everything is scalar arithmetic — vmapped, each value is one (N, M)
+    plane and the whole pair kernel fuses into a single VPU loop.
     """
-    a0 = ca                                   # (4, 2)
-    a1 = jnp.roll(ca, -1, axis=0)
-    b0 = cb
-    b1 = jnp.roll(cb, -1, axis=0)
+    # segment endpoints in the rect's local frame
+    t0x, t0y = p0x - rx, p0y - ry
+    q0x = t0x * rc + t0y * rs
+    q0y = -t0x * rs + t0y * rc
+    t1x, t1y = p1x - rx, p1y - ry
+    q1x = t1x * rc + t1y * rs
+    q1y = -t1x * rs + t1y * rc
 
-    # pairwise: i indexes A edges, j indexes B edges
-    p = a0[:, None, :]                        # (4, 1, 2)
-    r = (a1 - a0)[:, None, :]
-    q = b0[None, :, :]                        # (1, 4, 2)
-    s = (b1 - b0)[None, :, :]
+    t0 = jnp.zeros_like(p0x)
+    t1 = jnp.ones_like(p0x)
+    on_boundary = jnp.zeros_like(p0x, dtype=bool)
+    for o, d, hh in ((q0x, q1x - q0x, hx), (q0y, q1y - q0y, hy)):
+        # parallel threshold must exceed the f32 rotate/unrotate round-trip
+        # noise on the corners (~1e-6 m at 10 m coords), else coincident
+        # edges of identical boxes miss the half-weight path and the area
+        # triple-counts. 1e-4 m of drift across a whole edge is far below
+        # any heading difference that matters for IoU.
+        par = jnp.abs(d) < 1e-4
+        denom = jnp.where(par, 1.0, d)
+        ta = (-hh - _BOUND_EPS - o) / denom
+        tb = (hh + _BOUND_EPS - o) / denom
+        tlo = jnp.minimum(ta, tb)
+        thi = jnp.maximum(ta, tb)
+        omid = o + 0.5 * d
+        inside_par = jnp.abs(omid) <= hh + _BOUND_EPS
+        tlo = jnp.where(par, jnp.where(inside_par, 0.0, 1.0), tlo)
+        thi = jnp.where(par, jnp.where(inside_par, 1.0, 0.0), thi)
+        t0 = jnp.maximum(t0, tlo)
+        t1 = jnp.minimum(t1, thi)
+        on_boundary |= par & (jnp.abs(omid) >= hh - _BOUND_EPS)
+    t1 = jnp.maximum(t1, t0)          # empty clip -> zero-length segment
 
-    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]       # (4, 4)
-    qp = q - p
-    qpxr = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
-    qpxs = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
-    denom = jnp.where(jnp.abs(rxs) < _EPS, 1.0, rxs)
-    t = qpxs / denom
-    u = qpxr / denom
-    ok = (jnp.abs(rxs) >= _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    pt = p + t[..., None] * r                                  # (4, 4, 2)
-    return pt.reshape(16, 2), ok.reshape(16)
+    ex, ey = p1x - p0x, p1y - p0y
+    g0x, g0y = p0x + t0 * ex, p0y + t0 * ey
+    g1x, g1y = p0x + t1 * ex, p0y + t1 * ey
+    return 0.5 * (g0x * g1y - g1x * g0y), on_boundary
+
+
+def _edges_contrib(box_a, box_b):
+    """Sum of clipped-edge contributions of A's 4 edges against rect B."""
+    ax, ay, adx, ady, ah = (box_a[i] for i in range(5))
+    bx, by, bdx, bdy, bh = (box_b[i] for i in range(5))
+    ac, as_ = jnp.cos(ah), jnp.sin(ah)
+    bc, bs = jnp.cos(bh), jnp.sin(bh)
+    lx, ly = 0.5 * adx, 0.5 * ady
+    # CCW corners: (+,+), (-,+), (-,-), (+,-)
+    corners = [
+        _corner_xy(ax, ay, ac, as_, lx, ly),
+        _corner_xy(ax, ay, ac, as_, -lx, ly),
+        _corner_xy(ax, ay, ac, as_, -lx, -ly),
+        _corner_xy(ax, ay, ac, as_, lx, -ly),
+    ]
+    total = jnp.zeros_like(ax)
+    for i in range(4):
+        p0x, p0y = corners[i]
+        p1x, p1y = corners[(i + 1) % 4]
+        contrib, on_b = _clip_contrib(
+            p0x, p0y, p1x, p1y, bx, by, bc, bs, 0.5 * bdx, 0.5 * bdy
+        )
+        # boundary-coincident traversals carry half weight: same-direction
+        # coincident pieces (shared wall of nested boxes) merge to one full
+        # contribution, opposite directions (exterior touching) cancel.
+        total = total + jnp.where(on_b, 0.5, 1.0) * contrib
+    return total
 
 
 def _pair_intersection_area(box_a: jnp.ndarray, box_b: jnp.ndarray):
     """Intersection area of two BEV rectangles ((5,) boxes each)."""
-    ca = box_corners_bev(box_a)               # (4, 2)
-    cb = box_corners_bev(box_b)
-
-    in_b = _point_in_rect(ca[:, 0], ca[:, 1], box_b)           # (4,)
-    in_a = _point_in_rect(cb[:, 0], cb[:, 1], box_a)
-    cross, cross_ok = _seg_intersections(ca, cb)
-
-    pts = jnp.concatenate([ca, cb, cross], axis=0)             # (24, 2)
-    valid = jnp.concatenate([in_b, in_a, cross_ok], axis=0)    # (24,)
-    n_valid = jnp.sum(valid)
-
-    # angular sort around the valid-point mean; invalid slots go last
-    w = valid.astype(jnp.float32)
-    center = jnp.sum(pts * w[:, None], axis=0) / jnp.maximum(n_valid, 1)
-    ang = jnp.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0])
-    ang = jnp.where(valid, ang, _BIG)
-    order = jnp.argsort(ang)
-    pts = pts[order]
-    valid = valid[order]
-
-    # collapse invalid slots onto the first valid vertex -> degenerate edges
-    first = pts[0]                                             # valid iff any
-    pts = jnp.where(valid[:, None], pts, first[None, :])
-
-    nxt = jnp.roll(pts, -1, axis=0)
-    area2 = jnp.sum(pts[:, 0] * nxt[:, 1] - nxt[:, 0] * pts[:, 1])
-    area = 0.5 * jnp.abs(area2)
-    return jnp.where(n_valid >= 3, area, 0.0)
+    # re-centre the pair so the shoelace cross products are O(extent), not
+    # O(scene range) — keeps f32 cancellation error ~1e-6 m^2.
+    midx = 0.5 * (box_a[0] + box_b[0])
+    midy = 0.5 * (box_a[1] + box_b[1])
+    shift = jnp.stack(
+        [midx, midy, jnp.zeros_like(midx), jnp.zeros_like(midx),
+         jnp.zeros_like(midx)]
+    )
+    a = box_a[:5] - shift
+    b = box_b[:5] - shift
+    area = _edges_contrib(a, b) + _edges_contrib(b, a)
+    return jnp.maximum(area, 0.0)
 
 
 def boxes_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
@@ -185,8 +225,17 @@ def nms_rotated(
 
     Matches pcdet `nms_gpu` semantics: candidates in descending score order;
     a box is suppressed if its BEV rotated IoU with any earlier KEPT box
-    exceeds iou_threshold. The scan is over score rank (serial like every
-    greedy NMS), with the pairwise IoU matrix precomputed in one shot.
+    exceeds iou_threshold. Greedy NMS is a sequential recurrence, but a
+    1024-step lax.scan costs ~1024 dispatch latencies on TPU; instead the
+    recurrence is solved by fixpoint iteration on whole vectors:
+
+        keep <- valid & not(any_{j<i} keep[j] & over[j, i])
+
+    The greedy solution is the unique fixpoint, and every sweep extends the
+    prefix on which the iterate agrees with it (entries [0, m) correct =>
+    one application makes [0, m] correct, and in practice whole suppression
+    chains resolve per sweep), so the while_loop runs a handful of
+    (N, N)-masked-reduce sweeps instead of N scalar steps.
     """
     n = boxes.shape[0]
     neg = jnp.where(valid, scores, -jnp.inf)
@@ -195,14 +244,23 @@ def nms_rotated(
     svalid = valid[order]
 
     iou = boxes_iou_bev(sboxes, sboxes)        # (N, N)
-    over = iou > iou_threshold
+    # over[j, i]: j suppresses i (strictly earlier rank only)
+    over = (iou > iou_threshold) & (
+        jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    )
 
-    def body(suppressed, i):
-        keep_i = svalid[i] & ~suppressed[i]
-        suppressed = suppressed | (keep_i & over[i] & (jnp.arange(n) > i))
-        return suppressed, keep_i
+    def cond(state):
+        kept, prev, it = state
+        return jnp.any(kept != prev) & (it < n)
 
-    _, kept = jax.lax.scan(body, jnp.zeros(n, bool), jnp.arange(n))
+    def body(state):
+        kept, _, it = state
+        suppressed = jnp.any(kept[:, None] & over, axis=0)
+        return svalid & ~suppressed, kept, it + 1
+
+    kept, _, _ = jax.lax.while_loop(
+        cond, body, (svalid, jnp.zeros(n, bool), jnp.int32(0))
+    )
     keep_count = jnp.minimum(jnp.sum(kept), post_max)
 
     # compact kept ranks (ascending rank == descending score) to post_max
