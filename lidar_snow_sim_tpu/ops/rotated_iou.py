@@ -39,7 +39,6 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
-_BIG = 1e30
 
 
 def box_corners_bev(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -115,9 +114,16 @@ def _clip_contrib(p0x, p0y, p1x, p1y, rx, ry, rc, rs, hx, hy):
 
 
 def _edges_contrib(box_a, box_b):
-    """Sum of clipped-edge contributions of A's 4 edges against rect B."""
-    ax, ay, adx, ady, ah = (box_a[i] for i in range(5))
-    bx, by, bdx, bdy, bh = (box_b[i] for i in range(5))
+    """Sum of clipped-edge contributions of A's 4 edges against rect B.
+
+    box_a / box_b are 5-tuples of broadcastable arrays (x, y, dx, dy, h) —
+    NOT stacked (..., 5) arrays: a stacked minor dim of 5 pads 25x under
+    the TPU's (8, 128) tiling, whereas column tuples keep every
+    intermediate a full (N, M) plane (measured 3.19 s -> ms-scale on the
+    321k-anchor x 32-gt assignment matrix).
+    """
+    ax, ay, adx, ady, ah = box_a
+    bx, by, bdx, bdy, bh = box_b
     ac, as_ = jnp.cos(ah), jnp.sin(ah)
     bc, bs = jnp.cos(bh), jnp.sin(bh)
     lx, ly = 0.5 * adx, 0.5 * ady
@@ -142,20 +148,23 @@ def _edges_contrib(box_a, box_b):
     return total
 
 
-def _pair_intersection_area(box_a: jnp.ndarray, box_b: jnp.ndarray):
-    """Intersection area of two BEV rectangles ((5,) boxes each)."""
+def _pair_intersection_area(box_a, box_b):
+    """Intersection area of BEV rectangles (5-tuples of broadcastables)."""
     # re-centre the pair so the shoelace cross products are O(extent), not
     # O(scene range) — keeps f32 cancellation error ~1e-6 m^2.
     midx = 0.5 * (box_a[0] + box_b[0])
     midy = 0.5 * (box_a[1] + box_b[1])
-    shift = jnp.stack(
-        [midx, midy, jnp.zeros_like(midx), jnp.zeros_like(midx),
-         jnp.zeros_like(midx)]
-    )
-    a = box_a[:5] - shift
-    b = box_b[:5] - shift
+    a = (box_a[0] - midx, box_a[1] - midy) + tuple(box_a[2:])
+    b = (box_b[0] - midx, box_b[1] - midy) + tuple(box_b[2:])
     area = _edges_contrib(a, b) + _edges_contrib(b, a)
     return jnp.maximum(area, 0.0)
+
+
+def _cross_cols(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray):
+    """(N, 5) x (M, 5) -> broadcast column 5-tuples ((N, 1) vs (1, M))."""
+    a = tuple(boxes_a[:, i, None] for i in range(5))
+    b = tuple(boxes_b[None, :, i] for i in range(5))
+    return a, b
 
 
 def boxes_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
@@ -168,9 +177,7 @@ def boxes_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     """
     a5 = _as_bev5(boxes_a)
     b5 = _as_bev5(boxes_b)
-    inter = jax.vmap(
-        lambda a: jax.vmap(lambda b: _pair_intersection_area(a, b))(b5)
-    )(a5)
+    inter = _pair_intersection_area(*_cross_cols(a5, b5))
     area_a = (a5[:, 2] * a5[:, 3])[:, None]
     area_b = (b5[:, 2] * b5[:, 3])[None, :]
     union = jnp.maximum(area_a + area_b - inter, _EPS)
@@ -189,9 +196,7 @@ def boxes_overlap_bev(boxes_a: jnp.ndarray,
     """Pairwise BEV intersection AREA (not IoU) — pcdet boxes_overlap_bev."""
     a5 = _as_bev5(boxes_a)
     b5 = _as_bev5(boxes_b)
-    return jax.vmap(
-        lambda a: jax.vmap(lambda b: _pair_intersection_area(a, b))(b5)
-    )(a5)
+    return _pair_intersection_area(*_cross_cols(a5, b5))
 
 
 def boxes_iou3d(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
