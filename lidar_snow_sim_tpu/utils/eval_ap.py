@@ -215,19 +215,11 @@ def _pair_overlaps(gt_boxes: np.ndarray, dt_boxes: np.ndarray,
     return np.asarray(out, np.float64)[:n, :m]
 
 
-def _frame_statistics(overlaps, dt_scores, ignored_gt, ignored_det,
-                      min_overlap, thresh, compute_fp):
-    """eval.py compute_statistics_jit for one frame.
-
-    overlaps: (n_gt, n_dt). Returns (tp, fp, fn, tp_scores).
-
-    Two-pass greedy semantics: when collecting thresholds
-    (compute_fp=False) each counted gt takes the HIGHEST-SCORING
-    overlapping det; when counting errors (compute_fp=True) it takes the
-    LARGEST-OVERLAP non-ignored det (preferring any non-ignored det over
-    an ignored one), and unassigned non-ignored dets above the score
-    threshold become fp.
-    """
+def _frame_statistics_ref(overlaps, dt_scores, ignored_gt, ignored_det,
+                          min_overlap, thresh, compute_fp):
+    """Literal transcription of eval.py compute_statistics_jit (the
+    per-det inner loop written out) — kept as the oracle the vectorized
+    `_frame_statistics` is property-tested against."""
     n_gt, n_dt = overlaps.shape
     assigned = np.zeros(n_dt, bool)
     ignored_threshold = (
@@ -287,6 +279,71 @@ def _frame_statistics(overlaps, dt_scores, ignored_gt, ignored_det,
                 or ignored_threshold[j]
             ):
                 fp += 1
+    return tp, fp, fn, tp_scores
+
+
+def _frame_statistics(overlaps, dt_scores, ignored_gt, ignored_det,
+                      min_overlap, thresh, compute_fp):
+    """eval.py compute_statistics_jit for one frame.
+
+    overlaps: (n_gt, n_dt). Returns (tp, fp, fn, tp_scores).
+
+    Two-pass greedy semantics: when collecting thresholds
+    (compute_fp=False) each counted gt takes the HIGHEST-SCORING
+    overlapping det; when counting errors (compute_fp=True) it takes the
+    LARGEST-OVERLAP non-ignored det (preferring any non-ignored det over
+    an ignored one), and unassigned non-ignored dets above the score
+    threshold become fp.
+
+    The gt loop is order-dependent (earlier gts claim dets), but the
+    per-det inner loop of the official evaluator reduces to first-argmax
+    selections over candidate masks — vectorized here so a full val-split
+    eval (1.8k frames x 41 thresholds) is numpy row ops instead of
+    O(n_gt x n_dt) Python iterations per frame per threshold. Equality
+    with the literal loop (`_frame_statistics_ref`) is property-tested.
+    """
+    n_gt, n_dt = overlaps.shape
+    assigned = np.zeros(n_dt, bool)
+    ignored_threshold = (
+        (dt_scores < thresh) if compute_fp else np.zeros(n_dt, bool)
+    )
+    base_cand = (ignored_det != -1) & ~ignored_threshold
+    tp = fp = fn = 0
+    tp_scores = []
+    neg_inf = -np.inf
+    for i in range(n_gt):
+        if ignored_gt[i] == -1:
+            continue
+        cand = base_cand & ~assigned & (overlaps[i] > min_overlap)
+        det_idx = -1
+        if not compute_fp:
+            # highest-scoring candidate; the loop's strict `>` keeps the
+            # FIRST occurrence of the max, which argmax also returns
+            if cand.any():
+                masked = np.where(cand, dt_scores, neg_inf)
+                det_idx = int(np.argmax(masked))
+            matched = det_idx >= 0
+        else:
+            cand0 = cand & (ignored_det == 0)
+            if cand0.any():
+                det_idx = int(np.argmax(np.where(cand0, overlaps[i],
+                                                 neg_inf)))
+            else:
+                cand1 = cand & (ignored_det == 1)
+                if cand1.any():
+                    det_idx = int(np.argmax(cand1))   # first ignored det
+            matched = det_idx >= 0
+        if not matched and ignored_gt[i] == 0:
+            fn += 1
+        elif matched and (ignored_gt[i] == 1 or ignored_det[det_idx] == 1):
+            assigned[det_idx] = True
+        elif matched:
+            tp += 1
+            tp_scores.append(dt_scores[det_idx])
+            assigned[det_idx] = True
+    if compute_fp:
+        fp = int(np.sum(~assigned & (ignored_det == 0)
+                        & ~ignored_threshold))
     return tp, fp, fn, tp_scores
 
 

@@ -269,3 +269,28 @@ def test_gt_frame_from_annotations_maps_label_fields():
     )
     assert gt["bbox_height"][0] == pytest.approx(45.0)
     assert gt["occluded"][0] == 1
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("compute_fp", [False, True])
+def test_vectorized_matcher_equals_literal_loop(seed, compute_fp):
+    """The numpy first-argmax matcher must reproduce the literal
+    compute_statistics_jit loop on adversarial inputs: score/overlap
+    ties, ignored gts/dets (codes -1/0/1), thresholded dets, and empty
+    candidate sets."""
+    rng = np.random.default_rng(seed)
+    n_gt, n_dt = rng.integers(0, 12), rng.integers(0, 16)
+    # quantized overlaps/scores force frequent exact ties
+    overlaps = rng.integers(0, 5, (n_gt, n_dt)) / 5.0
+    scores = rng.integers(0, 4, n_dt) / 4.0
+    ignored_gt = rng.choice([-1, 0, 1], n_gt)
+    ignored_det = rng.choice([-1, 0, 1], n_dt)
+    thresh = 0.3 if compute_fp else 0.0
+    got = eval_ap._frame_statistics(
+        overlaps, scores, ignored_gt, ignored_det, 0.4, thresh, compute_fp
+    )
+    want = eval_ap._frame_statistics_ref(
+        overlaps, scores, ignored_gt, ignored_det, 0.4, thresh, compute_fp
+    )
+    assert got[:3] == want[:3]
+    assert list(got[3]) == list(want[3])
