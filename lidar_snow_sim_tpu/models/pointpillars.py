@@ -302,8 +302,14 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     points: (N, 4) [x, y, z, feat]; valid: (N,) bool.
     Returns pillars (V, P, 4), coords (V, 3) int32 (z, y, x order — pcdet's
     coordinate convention), num_points (V,), num_pillars scalar, and the
-    points_dropped / pillars_dropped counters. Implementation is two sorts +
-    one unique-index scatter — no serial hashing, no data-dependent shapes.
+    points_dropped / pillars_dropped counters. Implementation is three
+    multi-operand sorts + per-column unique-index scatters — no serial
+    hashing, no data-dependent shapes. Ledger-driven layout (BASELINE.md):
+    the point columns ride the voxel-id sort as payload operands instead
+    of being gathered afterwards, the first-appearance rank permutation is
+    inverted by a (perm, iota) sort instead of a scatter, and the pillar
+    buffer fills with four 1-D scatters instead of one (N, 4) row scatter
+    (slope-measured 25.6 -> ~7 ms/step at batch 4 on-chip).
     """
     n = points.shape[0]
     vmax, pmax = cfg.max_pillars, cfg.max_points_per_pillar
@@ -322,26 +328,33 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     vid = jnp.where(in_range, (iz * ny + iy) * nx + ix, jnp.int32(2**31 - 1))
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    # sort by (vid, idx): runs of equal vid, stream order within a run
-    order = jnp.lexsort((idx, vid))
-    svid = vid[order]
-    sidx = idx[order]
-    sval = in_range[order]
+    # ONE stable sort by vid: stream order within runs is automatic, and
+    # the point columns ride along as payload operands (== lexsort((idx,
+    # vid)) + four per-index gathers, without the gathers)
+    svid, sidx, sval32, c0, c1, c2, c3 = jax.lax.sort(
+        (vid, idx, in_range.astype(jnp.int32),
+         points[:, 0], points[:, 1], points[:, 2], points[:, 3]),
+        num_keys=1,
+    )
+    sval = sval32.astype(bool)
 
-    head = jnp.concatenate(
+    boundary = jnp.concatenate(
         [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
-    ) & sval
+    )
+    head = boundary & sval
     # position of the current run's head (positions ascend, so cummax works)
     pos = jnp.arange(n, dtype=jnp.int32)
     head_pos = jax.lax.cummax(jnp.where(head, pos, -1))
     within = pos - head_pos                       # rank inside the pillar
-    first_idx = sidx[jnp.maximum(head_pos, 0)]    # stream idx of pillar head
 
-    # pillar rank = first-appearance order = rank of first_idx among heads
-    head_key = jnp.where(head, first_idx, jnp.int32(n))
-    run_rank_order = jnp.argsort(head_key)        # heads first, by appearance
-    # invert: rank_of_position[p] = rank of the run whose head sits at p
-    rank_of_pos = jnp.zeros(n, jnp.int32).at[run_rank_order].set(pos)
+    # pillar rank = first-appearance order = rank of the head's stream idx
+    # among heads (at a head, head_pos == pos, so sidx IS the head's stream
+    # idx — no gather); the rank permutation is inverted by a second
+    # (perm, iota) sort — a 50k inverse-permutation scatter is near-serial
+    # on TPU
+    head_key = jnp.where(head, sidx, jnp.int32(n))
+    _, run_rank_order = jax.lax.sort((head_key, pos), num_keys=1)
+    _, rank_of_pos = jax.lax.sort((run_rank_order, pos), num_keys=1)
     vrank = rank_of_pos[jnp.maximum(head_pos, 0)]
 
     ok = sval & (vrank < vmax) & (within < pmax)
@@ -350,27 +363,41 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     num_pillars = jnp.minimum(n_pillars_total, vmax)
     pillars_dropped = n_pillars_total - num_pillars
 
+    # four 1-D unique scatters instead of one (N, 4) row scatter (ledger:
+    # row scatters pay per cell with a padded minor dim; 1-D is ~2x)
     slot = jnp.where(ok, vrank * pmax + within, vmax * pmax)
-    flat = jnp.zeros((vmax * pmax + 1, 4), points.dtype)
-    flat = flat.at[slot].set(
-        jnp.where(ok[:, None], points[order], 0.0), mode="drop"
-    )
-    pillars = flat[:-1].reshape(vmax, pmax, 4)
+    cols = []
+    for c in (c0, c1, c2, c3):
+        col = jnp.zeros((vmax * pmax + 1,), points.dtype).at[slot].set(
+            jnp.where(ok, c, 0.0), mode="drop"
+        )
+        cols.append(col[:-1])
+    pillars = jnp.stack(cols, axis=-1).reshape(vmax, pmax, 4)
 
-    # per-pillar point count (capped) + coords via the same unique slots
+    # per-pillar coords via the same unique slots, one 1-D scatter per axis
     head_slot = jnp.where(head & (vrank < vmax), vrank, vmax)
-    coords_flat = jnp.zeros((vmax + 1, 3), jnp.int32)
-    zyx = jnp.stack(
-        [svid // (nx * ny), (svid // nx) % ny, svid % nx], axis=-1
-    ).astype(jnp.int32)
-    coords_flat = coords_flat.at[head_slot].set(
-        jnp.where((head & (vrank < vmax))[:, None], zyx, 0), mode="drop"
-    )
-    coords = coords_flat[:-1]
+    hsel = head & (vrank < vmax)
+    ccols = []
+    for c in (svid // (nx * ny), (svid // nx) % ny, svid % nx):
+        col = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+            jnp.where(hsel, c.astype(jnp.int32), 0), mode="drop"
+        )
+        ccols.append(col[:-1])
+    coords = jnp.stack(ccols, axis=-1)
 
-    counts = jnp.zeros((vmax + 1,), jnp.int32).at[
-        jnp.where(ok, vrank, vmax)
-    ].add(jnp.where(ok, 1, 0), mode="drop")[:-1]
+    # per-pillar counts = min(run length, pmax) written at the heads: one
+    # 1-D unique scatter instead of a 50k scatter-add (every point of a
+    # real-vid run is valid — invalid points carry the sentinel vid and
+    # cluster in the final run). Run length = next boundary - head pos,
+    # via an exclusive reverse cummin over boundary positions.
+    bpos = jnp.where(boundary, pos, jnp.int32(n))
+    next_boundary = jnp.concatenate(
+        [jax.lax.cummin(bpos[::-1])[::-1][1:], jnp.full((1,), n, jnp.int32)]
+    )
+    rlen = jnp.minimum(next_boundary - pos, pmax)
+    counts = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+        jnp.where(hsel, rlen, 0), mode="drop"
+    )[:-1]
 
     return VoxelizeResult(
         pillars=pillars,
