@@ -1125,7 +1125,11 @@ def snowfall_augment_dense(
     # slot_orig is injective on them; invalid entries collide only on the
     # dropped n sentinel), so the scatters can claim unique indices; the xyz
     # scatter goes plane-by-plane — a (cap, 3) update payload made XLA pick
-    # a padded layout that cost 5.2 ms/step vs 2.8 for three 1-D scatters
+    # a padded layout that cost 5.2 ms/step vs 2.8 for three 1-D scatters.
+    # MEASURED NEGATIVE (round 3, BASELINE.md): replacing the five 1-D
+    # scatters with ONE i32 inverse-map scatter + a fused (5, n) column
+    # gather + selects benched 34.37 vs 30.31 ms/step — the wide gather
+    # pays per-cell over n (not cap) columns, which exceeds the scatters.
     new_xyz = jnp.stack(
         [
             xyz[:, i].at[tgt].set(nx[:, i], mode="drop", unique_indices=True)
