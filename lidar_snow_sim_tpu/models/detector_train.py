@@ -219,8 +219,12 @@ def train_forward(points, valid, params, cfg: PointPillarsConfig):
         jnp.arange(cfg.max_pillars)[None, :] < vox.num_pillars[:, None]
     )
     stats: dict = {}
-    pfeat = pfn_forward(feat, params, cfg, train=True, stats=stats,
-                        live=live)
+    # honor cfg.compute_dtype like the inference path (forward_features):
+    # network matmuls/convs ride the MXU in bf16, BN batch statistics stay
+    # f32 inside _bn, and the head re-casts its outputs to f32
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    pfeat = pfn_forward(feat.astype(dtype), params, cfg, train=True,
+                        stats=stats, live=live)
     pfeat = pfeat * live[..., None].astype(pfeat.dtype)
     spatial = jax.vmap(
         lambda f, v: scatter_bev(f, v, cfg)

@@ -532,10 +532,16 @@ def _conv(x, w, stride=1, padding=1):
 
 
 def _deconv(x, w, stride):
-    # torch ConvTranspose2d(k=stride, stride=stride, pad 0): weight (I,O,k,k)
+    # torch ConvTranspose2d(k=stride, stride=stride, pad 0): weight (I,O,k,k).
+    # transpose_kernel=True + an OIHW spec is the form that reproduces torch
+    # exactly (gradient-of-conv semantics: spatial flip + I/O swap applied to
+    # the declared spec); the IOHW/False form convolves with the kernel
+    # spatially mirrored and breaks .pth checkpoint parity for k > 1
+    # (verified bit-exact against torch.nn.functional.conv_transpose2d —
+    # tests/test_pointpillars.py::test_deconv_matches_torch).
     return jax.lax.conv_transpose(
         x, w.astype(x.dtype), (stride, stride), "VALID",
-        dimension_numbers=("NCHW", "IOHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), transpose_kernel=True,
     )
 
 

@@ -115,12 +115,29 @@ def main(argv=None):
         if not pred_files:
             raise SystemExit(f"no .txt prediction files in {pred_path}")
         gt_files = [label_path / f.name for f in pred_files]
+        missing = [g.name for g in gt_files if not g.exists()]
+        if missing:
+            # scoring a prediction file against a silently-empty GT frame
+            # would turn every detection in it into a false positive
+            raise SystemExit(
+                f"{len(missing)} prediction file(s) have no same-named "
+                f"ground-truth label in {label_path} (first: {missing[0]}); "
+                "check the file naming between --predictions and --labels"
+            )
     else:
         pred_files = [pred_path]
         gt_files = [label_path]
 
     cam_to_velo = None
-    if args.format == "dense" and args.dataset_root:
+    if args.format == "dense":
+        if not args.dataset_root:
+            # without the calib JSONs every dense annotation's lidar pose
+            # defaults to (0, 0, 0) and the whole table reads ~0 AP
+            raise SystemExit(
+                "--format dense requires --dataset-root (the directory "
+                "holding the camera/tf-tree calib JSONs) to place GT boxes "
+                "in the lidar frame"
+            )
         from lidar_snow_sim_tpu.utils.stf_labels import load_calib_data
 
         cam_to_velo = load_calib_data(

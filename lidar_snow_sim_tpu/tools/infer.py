@@ -161,6 +161,7 @@ def main(argv=None):
         "num_predictions": int(preds.count),
         "points_dropped": int(preds.points_dropped),
         "pillars_dropped": int(preds.pillars_dropped),
+        "nms_pre_overflow": int(preds.nms_pre_overflow),
         "classes": {
             cfg.class_names[int(c) - 1]: int((arr[:, 7] == c).sum())
             for c in np.unique(arr[:, 7]).astype(int)

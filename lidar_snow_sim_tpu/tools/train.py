@@ -52,6 +52,14 @@ from pathlib import Path
 import numpy as np
 
 
+def _stem_key(stem: str) -> int:
+    """Deterministic per-scan RNG word from the file stem (crc32 is stable
+    across processes, unlike hash())."""
+    import zlib
+
+    return zlib.crc32(stem.encode())
+
+
 def _collect_frames(args, cfg):
     """[(points (N,4) f32, gt (G,8) f32)] with fixed shapes."""
     name_to_id = {n: i + 1 for i, n in enumerate(cfg.class_names)}
@@ -92,7 +100,10 @@ def _collect_frames(args, cfg):
             # random subsample, not head-truncation (the head of an STF
             # scan is the bottom lasers — a biased crop; see
             # parallel/datagen.py's auto-grow rationale)
-            sel = np.random.default_rng(args.seed).choice(
+            # per-scan (seed, stem) stream: one rng seeded with args.seed
+            # alone would reuse the identical index stream for every scan,
+            # correlating the subsampling across the corpus
+            sel = np.random.default_rng([args.seed, _stem_key(b.stem)]).choice(
                 len(pc), args.max_points, replace=False
             )
             pc = pc[sel]

@@ -32,6 +32,7 @@ which batch through the jitted rotated-IoU kernels once per frame pair.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterable, Mapping, Sequence
 
 import numpy as np
@@ -193,10 +194,7 @@ def _pair_overlaps(gt_boxes: np.ndarray, dt_boxes: np.ndarray,
         return np.zeros((n, m), np.float64)
     if metric not in ("3d", "bev"):
         raise ValueError(f"metric must be '3d' or 'bev', got {metric!r}")
-    import jax
     import jax.numpy as jnp
-
-    from lidar_snow_sim_tpu.ops import rotated_iou as riou
 
     # bucket-pad both axes so the jitted kernel compiles once per bucket,
     # not once per frame's exact box count (padding rows are unit boxes at
@@ -210,9 +208,20 @@ def _pair_overlaps(gt_boxes: np.ndarray, dt_boxes: np.ndarray,
     b = np.full((pm, 7), pad)
     a[:n] = gt_boxes[:, :7]
     b[:m] = dt_boxes[:, :7]
-    fn = riou.boxes_iou3d if metric == "3d" else riou.boxes_iou_bev
-    out = jax.jit(fn)(jnp.asarray(a), jnp.asarray(b))
+    out = _jitted_iou(metric)(jnp.asarray(a), jnp.asarray(b))
     return np.asarray(out, np.float64)[:n, :m]
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_iou(metric):
+    """One process-wide jitted kernel per metric: `jax.jit(fn)` built inside
+    `_pair_overlaps` would discard its compilation cache on every frame,
+    re-tracing ~2 calls/frame and defeating the bucket padding above."""
+    import jax
+
+    from lidar_snow_sim_tpu.ops import rotated_iou as riou
+
+    return jax.jit(riou.boxes_iou3d if metric == "3d" else riou.boxes_iou_bev)
 
 
 def _frame_statistics_ref(overlaps, dt_scores, ignored_gt, ignored_det,

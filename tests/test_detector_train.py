@@ -155,3 +155,26 @@ def test_train_step_dp_sharded_matches_unsharded():
             atol=1e-5,
             err_msg=k,
         )
+
+
+def test_train_forward_honors_compute_dtype():
+    """cfg.compute_dtype must not be a silent no-op in training: the bf16
+    path rides the MXU like the inference path (forward_features) and its
+    head outputs differ numerically from the f32 run."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(_cloud(rng, 256))[None]
+    valid = jnp.ones((1, 256), bool)
+    params = pp.init_params(TINY, jax.random.PRNGKey(0))
+
+    outs = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = dataclasses.replace(TINY, compute_dtype=dtype)
+        cls, box, dir_, _ = jax.jit(
+            lambda p, v: dt.train_forward(p, v, params, cfg)
+        )(pts, valid)
+        assert cls.dtype == jnp.float32  # head re-casts to f32
+        assert np.isfinite(np.asarray(cls)).all()
+        outs[dtype] = np.asarray(cls)
+    assert not np.array_equal(outs["float32"], outs["bfloat16"])

@@ -294,3 +294,43 @@ def test_vectorized_matcher_equals_literal_loop(seed, compute_fp):
     )
     assert got[:3] == want[:3]
     assert list(got[3]) == list(want[3])
+
+
+def test_evaluate_cli_rejects_missing_gt_file(tmp_path):
+    from lidar_snow_sim_tpu.tools.evaluate import main as eval_main
+
+    preds = tmp_path / "preds"
+    labels = tmp_path / "labels"
+    preds.mkdir()
+    labels.mkdir()
+    (preds / "frame_a.txt").write_text(
+        "Car 0 0 0 0 0 50 50 1.6 1.8 4.0 5.0 0.0 -1.6 0.0 0.9\n"
+    )
+    with pytest.raises(SystemExit, match="no same-named"):
+        eval_main(["--predictions", str(preds), "--labels", str(labels)])
+
+
+def test_evaluate_cli_dense_requires_dataset_root(tmp_path):
+    """Without the calib JSONs every dense GT box would sit at the origin
+    and the table would silently read ~0 AP."""
+    from lidar_snow_sim_tpu.tools.evaluate import main as eval_main
+
+    preds = tmp_path / "p.txt"
+    labels = tmp_path / "l.txt"
+    preds.write_text("")
+    labels.write_text("")
+    with pytest.raises(SystemExit, match="dataset-root"):
+        eval_main([
+            "--predictions", str(preds), "--labels", str(labels),
+            "--format", "dense",
+        ])
+
+
+def test_pair_overlap_jit_is_cached():
+    """The jitted IoU kernel must be built once per metric, not per frame
+    (jit-inside-the-loop re-traces and discards its cache every call)."""
+    from lidar_snow_sim_tpu.utils.eval_ap import _jitted_iou
+
+    assert _jitted_iou("3d") is _jitted_iou("3d")
+    assert _jitted_iou("bev") is _jitted_iou("bev")
+    assert _jitted_iou("3d") is not _jitted_iou("bev")

@@ -247,3 +247,21 @@ MODEL:
     assert shapes["dense_head.conv_cls.weight"] == (18, 384, 1, 1)
     assert shapes["dense_head.conv_box.weight"] == (42, 384, 1, 1)
     assert shapes["vfe.pfn_layers.0.linear.weight"] == (64, 10)
+
+
+@pytest.mark.parametrize("stride,cin,cout", [(1, 8, 16), (2, 8, 16), (4, 16, 8)])
+def test_deconv_matches_torch(stride, cin, cout):
+    """_deconv must reproduce torch ConvTranspose2d exactly — the checkpoint
+    conversion contract (pcdet weights are (I, O, k, k)). The
+    transpose_kernel=False/IOHW form convolves with the kernel spatially
+    mirrored and silently breaks converted-.pth parity for k > 1."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, cin, 6, 6)).astype(np.float32)
+    w = rng.standard_normal((cin, cout, stride, stride)).astype(np.float32)
+    want = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=stride
+    ).numpy()
+    got = np.asarray(pp._deconv(jnp.asarray(x), jnp.asarray(w), stride))
+    np.testing.assert_allclose(got, want, atol=1e-5)

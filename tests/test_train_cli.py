@@ -175,3 +175,35 @@ def test_gt_class_mapping(tmp_path, tiny_yaml):
     assert (gt[:, 7] > 0).sum() == 1          # Cyclist dropped
     assert gt[0, 7] == 2                      # Pedestrian is class 2
     assert gt[0, 2] == pytest.approx(-1.9 + 1.73 / 2)  # recentred z
+
+
+def test_oversized_scan_subsample_is_decorrelated_per_scan(tmp_path, tiny_yaml):
+    """Two oversized scans with identical contents but different stems must
+    not drop the same point indices (per-(seed, stem) RNG, matching the
+    repo's per-frame (seed, id) convention)."""
+    from lidar_snow_sim_tpu.models import pointpillars as pp
+    from lidar_snow_sim_tpu.utils.pointcloud import save_velodyne_bin
+
+    class A:
+        synthetic = 0
+        labels = None
+        seed = 0
+        max_points = 32
+        max_gt = 4
+        intensity_scale = 1.0
+        columns = 5
+
+    cfg = pp.config_from_openpcdet_yaml(tiny_yaml)
+    scans = tmp_path / "s"
+    scans.mkdir()
+    pc = np.zeros((64, 5), np.float32)
+    pc[:, 0] = np.arange(64)  # identify points by x
+    for stem in ("000000", "000001"):
+        save_velodyne_bin(pc, scans / f"{stem}.bin")
+    a = A()
+    a.scans = str(scans)
+    frames = train_cli._collect_frames(a, cfg)
+    assert len(frames) == 2
+    xa = np.sort(frames[0][0][:, 0])
+    xb = np.sort(frames[1][0][:, 0])
+    assert not np.array_equal(xa, xb)
