@@ -330,13 +330,15 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     idx = jnp.arange(n, dtype=jnp.int32)
     # ONE stable sort by vid: stream order within runs is automatic, and
     # the point columns ride along as payload operands (== lexsort((idx,
-    # vid)) + four per-index gathers, without the gathers)
-    svid, sidx, sval32, c0, c1, c2, c3 = jax.lax.sort(
-        (vid, idx, in_range.astype(jnp.int32),
+    # vid)) + four per-index gathers, without the gathers). Validity does
+    # NOT ride as an operand: it is recomputed from the sentinel key
+    # (multi-operand sort cost scales with total payload width).
+    svid, sidx, c0, c1, c2, c3 = jax.lax.sort(
+        (vid, idx,
          points[:, 0], points[:, 1], points[:, 2], points[:, 3]),
         num_keys=1,
     )
-    sval = sval32.astype(bool)
+    sval = svid != jnp.int32(2**31 - 1)
 
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
@@ -355,7 +357,22 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     head_key = jnp.where(head, sidx, jnp.int32(n))
     _, run_rank_order = jax.lax.sort((head_key, pos), num_keys=1)
     _, rank_of_pos = jax.lax.sort((run_rank_order, pos), num_keys=1)
-    vrank = rank_of_pos[jnp.maximum(head_pos, 0)]
+    # Distribute each head's rank down its run WITHOUT the 50k-index
+    # rank_of_pos[head_pos] gather (1-D gathers pay PER-INDEX on TPU —
+    # perf ledger): head ranks are NOT monotone in sorted position
+    # (first appearance can order a later run earlier), so a plain cummax
+    # of masked ranks is wrong — instead pack (run counter, clamped rank)
+    # into one monotone i32 key. cumsum(head) is nondecreasing and strictly
+    # increases at heads, so within a run the head's packed key dominates
+    # and cummax copies it forward; ranks are clamped to vmax (< 2^14 bits
+    # for any realistic max_pillars) which preserves the only two consumers:
+    # `vrank < vmax` and the head_slot sentinel at vmax.
+    assert vmax < (1 << 14), "packed-rank distribution assumes vmax < 2^14"
+    run_ctr = jnp.cumsum(head.astype(jnp.int32))
+    packed = run_ctr * (1 << 14) + jnp.where(
+        head, jnp.minimum(rank_of_pos, vmax), 0
+    )
+    vrank = jax.lax.cummax(packed) & ((1 << 14) - 1)
 
     ok = sval & (vrank < vmax) & (within < pmax)
     points_dropped = jnp.sum(sval & ~ok)  # over-cap or dropped-pillar points
