@@ -364,15 +364,23 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     # of masked ranks is wrong — instead pack (run counter, clamped rank)
     # into one monotone i32 key. cumsum(head) is nondecreasing and strictly
     # increases at heads, so within a run the head's packed key dominates
-    # and cummax copies it forward; ranks are clamped to vmax (< 2^14 bits
-    # for any realistic max_pillars) which preserves the only two consumers:
-    # `vrank < vmax` and the head_slot sentinel at vmax.
-    assert vmax < (1 << 14), "packed-rank distribution assumes vmax < 2^14"
-    run_ctr = jnp.cumsum(head.astype(jnp.int32))
-    packed = run_ctr * (1 << 14) + jnp.where(
-        head, jnp.minimum(rank_of_pos, vmax), 0
-    )
-    vrank = jax.lax.cummax(packed) & ((1 << 14) - 1)
+    # and cummax copies it forward; ranks are clamped to vmax (shift bits)
+    # which preserves the only two consumers: `vrank < vmax` and the
+    # head_slot sentinel at vmax. When (n heads, vmax) can't fit a packed
+    # i32 — e.g. pcdet's stock max_pillars=40000 with dense clouds — fall
+    # back to the rank gather (slower, always correct). n and vmax are
+    # trace-time constants, so the branch is static.
+    shift = max(vmax, 1).bit_length()  # clamped rank can equal vmax
+    if n <= ((1 << 31) - 1 - vmax) >> shift:
+        run_ctr = jnp.cumsum(head.astype(jnp.int32))
+        packed = run_ctr * (1 << shift) + jnp.where(
+            head, jnp.minimum(rank_of_pos, vmax), 0
+        )
+        vrank = jax.lax.cummax(packed) & ((1 << shift) - 1)
+    else:
+        # head_pos is -1 only before the first head, where sval (and thus
+        # every consumer mask) is False — clamp to 0 for a safe gather.
+        vrank = rank_of_pos[jnp.maximum(head_pos, 0)]
 
     ok = sval & (vrank < vmax) & (within < pmax)
     points_dropped = jnp.sum(sval & ~ok)  # over-cap or dropped-pillar points

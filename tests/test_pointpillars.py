@@ -84,6 +84,34 @@ def test_voxelize_overflow_counted():
     assert int(got.points_dropped) == w[3]
 
 
+@pytest.mark.parametrize("n", [1000, 40000])
+def test_voxelize_large_max_pillars(n):
+    # pcdet's stock config uses max_pillars=40000. At that vmax the packed
+    # (run counter, rank) i32 key only fits for n <= ~32k points, so
+    # voxelize statically falls back to the rank gather for dense clouds
+    # (ADVICE r3). Oracle-check both regimes: n=1000 takes the packed path
+    # (shift=16), n=40000 the gather fallback.
+    import dataclasses
+
+    big = dataclasses.replace(TINY, max_pillars=40000)
+    rng = np.random.default_rng(n)
+    pts = _cloud(rng, n)
+    got = jax.jit(lambda p, v: pp.voxelize(p, v, big))(
+        jnp.asarray(pts), jnp.ones(n, bool)
+    )
+    want_vox, want_coords, want_counts, want_pd, want_vd = oracle.voxelize(
+        pts, big.point_cloud_range, big.voxel_size,
+        big.max_points_per_pillar, big.max_pillars,
+    )
+    nv = int(got.num_pillars)
+    assert nv == len(want_vox)
+    np.testing.assert_array_equal(np.asarray(got.coords)[:nv], want_coords)
+    np.testing.assert_array_equal(np.asarray(got.num_points)[:nv], want_counts)
+    np.testing.assert_array_equal(np.asarray(got.pillars)[:nv], want_vox)
+    assert int(got.points_dropped) == want_pd
+    assert int(got.pillars_dropped) == want_vd
+
+
 def test_coder_roundtrip():
     rng = np.random.default_rng(3)
     anchors = np.column_stack(
