@@ -461,18 +461,24 @@ def _bn(x, params, prefix, axis=-1, *, train=False, stats=None, mask=None):
         if mask is None:
             mean = jnp.mean(xf, axis=red)
             var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            nf = float(np.prod([x.shape[i] for i in red]))
+            bessel = nf / max(nf - 1.0, 1.0)
         else:
             w = jnp.broadcast_to(mask.astype(jnp.float32), x.shape)
             n = jnp.maximum(jnp.sum(w, axis=red), 1.0)
             mean = jnp.sum(xf * w, axis=red) / n
             var = jnp.sum(jnp.square(xf) * w, axis=red) / n - jnp.square(mean)
+            bessel = n / jnp.maximum(n - 1.0, 1.0)
         if stats is not None:
+            # torch semantics: normalize with the biased batch variance but
+            # update running_var with the UNBIASED one (Bessel-corrected) —
+            # pinned by tests/test_pointpillars_torch_golden.py
             m = _BN_MOMENTUM
             stats[f"{prefix}.running_mean"] = (
                 (1 - m) * params[f"{prefix}.running_mean"] + m * mean
             )
             stats[f"{prefix}.running_var"] = (
-                (1 - m) * params[f"{prefix}.running_var"] + m * var
+                (1 - m) * params[f"{prefix}.running_var"] + m * var * bessel
             )
         inv = jax.lax.rsqrt(var + _BN_EPS).astype(x.dtype).reshape(shape)
         mu = mean.astype(x.dtype).reshape(shape)
