@@ -16,6 +16,13 @@ same-stem `.txt` files in the KITTI-LiDAR layout `tools/infer.py`
 writes and `tools/evaluate.py` consumes. Boxes whose class is not in
 the config's CLASS_NAMES are dropped (pcdet's dataset filtering).
 
+Augmentation (pcdet DataAugmentor pipeline, `models/detector_augment.py`):
+`--gt-sampling 'Car:15,...'` builds a gt database from the labels dir and
+pastes collision-free samples per frame (host-side, like pcdet's
+dataloader); `--augment` applies world flip/rotation/scaling on-device
+per step. Both streams are (seed, step)-deterministic, so `--resume`
+replays them bit-exactly.
+
 Optimizer: Adam driven by a one-cycle schedule
 (`optax.cosine_onecycle_schedule` with pcdet's pointpillar defaults:
 LR 0.003, DIV_FACTOR 10, PCT_START 0.4). Documented delta vs pcdet's
@@ -214,6 +221,18 @@ def main(argv=None):
                     help="DENSE .bin intensity is 0-255; pcdet trains 0-1")
     ap.add_argument("--columns", type=int, default=5,
                     help=".bin column count (STF/datagen scans are 5-wide)")
+    ap.add_argument("--augment", action="store_true",
+                    help="pcdet world augmentations (flip along x, "
+                         "rotation U[-pi/4,pi/4], scaling U[0.95,1.05]) "
+                         "applied on-device per step")
+    ap.add_argument("--gt-sampling", default="",
+                    help="pcdet gt-sampling SAMPLE_GROUPS, e.g. "
+                         "'PassengerCar:15,Pedestrian:10': paste database "
+                         "samples until each class reaches the target "
+                         "count (requires --scans/--labels)")
+    ap.add_argument("--gt-db-min-points", type=int, default=5,
+                    help="gt database: min interior points per box "
+                         "(pcdet filter_by_min_points)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
     ap.add_argument("--dp-devices", type=int, default=0,
@@ -256,6 +275,33 @@ def main(argv=None):
     frames = _collect_frames(args, cfg)
     steps_per_epoch = max(len(frames) // args.batch, 1)
     total_steps = args.steps or steps_per_epoch * args.epochs
+
+    name_to_id = {n: i + 1 for i, n in enumerate(cfg.class_names)}
+    gt_db = gt_groups = None
+    if args.gt_sampling:
+        if not (args.scans and args.labels):
+            raise SystemExit("--gt-sampling requires --scans and --labels")
+        from lidar_snow_sim_tpu.models.detector_augment import (
+            GTSampleDB,
+            parse_sample_groups,
+        )
+
+        gt_groups = parse_sample_groups(args.gt_sampling)
+        unknown = set(gt_groups) - set(cfg.class_names)
+        if unknown:
+            raise SystemExit(f"--gt-sampling classes not in config: {unknown}")
+        gt_db = GTSampleDB.build(
+            args.scans, args.labels, cfg.class_names,
+            columns=args.columns, intensity_scale=args.intensity_scale,
+            min_points=args.gt_db_min_points,
+        )
+        print(f"gt-sampling database: {gt_db.stats()}", file=sys.stderr)
+
+    world_aug = None
+    if args.augment:
+        from lidar_snow_sim_tpu.models.detector_augment import world_augment
+
+        world_aug = jax.jit(world_augment)
 
     if total_steps >= 4:
         schedule = optax.cosine_onecycle_schedule(
@@ -305,8 +351,24 @@ def main(argv=None):
         idx = np.random.default_rng((args.seed, it)).choice(
             len(frames), args.batch, replace=len(frames) < args.batch
         )
-        pts = jnp.asarray(np.stack([frames[i][0] for i in idx]))
-        gts = jnp.asarray(np.stack([frames[i][1] for i in idx]))
+        batch = [frames[i] for i in idx]
+        if gt_db is not None:
+            batch = [
+                gt_db.sample_into(
+                    np.random.default_rng((args.seed, it, bi)),
+                    p, g, gt_groups, name_to_id,
+                )[:2]
+                for bi, (p, g) in enumerate(batch)
+            ]
+        pts = jnp.asarray(np.stack([p for p, _g in batch]))
+        gts = jnp.asarray(np.stack([g for _p, g in batch]))
+        if world_aug is not None:
+            # per-step key: the augmentation stream depends only on
+            # (seed, step), so --resume replays the exact remainder
+            pts, gts = world_aug(
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), it),
+                pts, gts,
+            )
         valid = jnp.ones(pts.shape[:2], bool)
         if sharding is not None:
             pts = jax.device_put(pts, sharding)

@@ -177,6 +177,62 @@ def test_gt_class_mapping(tmp_path, tiny_yaml):
     assert gt[0, 2] == pytest.approx(-1.9 + 1.73 / 2)  # recentred z
 
 
+def test_train_with_augmentor_flags(tmp_path, tiny_yaml):
+    """--augment + --gt-sampling: the full pcdet DataAugmentor pipeline
+    runs end-to-end and stays deterministic under --seed (two runs of the
+    same config produce identical checkpoints)."""
+    from lidar_snow_sim_tpu.utils.pointcloud import save_velodyne_bin
+
+    scans = tmp_path / "scans"
+    labels = tmp_path / "labels"
+    scans.mkdir()
+    labels.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        pc = np.zeros((400, 5), np.float32)
+        pc[:, 0] = rng.uniform(0, 16, 400)
+        pc[:, 1] = rng.uniform(-8, 8, 400)
+        pc[:, 2] = rng.uniform(-3, 1, 400)
+        pc[:, 3] = rng.uniform(0, 255, 400)
+        # a Car at a per-frame spot with interior points (so the gt
+        # database has something to keep)
+        cx = 4.0 + 3.0 * i
+        pc[:60, 0] = rng.uniform(cx - 1.5, cx + 1.5, 60)
+        pc[:60, 1] = rng.uniform(-0.7, 0.7, 60)
+        pc[:60, 2] = rng.uniform(-1.9, -0.5, 60)
+        save_velodyne_bin(pc, scans / f"{i:06d}.bin")
+        (labels / f"{i:06d}.txt").write_text(
+            f"Car 0 0 0 0 0 50 50 1.56 1.6 3.9 {cx} 0.0 -1.9 0.0\n"
+        )
+
+    def run(name):
+        out = tmp_path / name
+        argv = [
+            "--scans", str(scans), "--labels", str(labels),
+            "--steps", "2", "--batch", "2", "--max-points", "512",
+            "--max-gt", "8", "--config", tiny_yaml, "--out", str(out),
+            "--dtype", "float32", "--log-every", "1", "--seed", "11",
+            "--augment", "--gt-sampling", "Car:4,Pedestrian:2",
+            "--gt-db-min-points", "5",
+        ]
+        assert train_cli.main(argv) == 0
+        return np.load(out / "params_tpu.npz")
+
+    a, b = run("a"), run("b")
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_gt_sampling_requires_labels(tmp_path, tiny_yaml):
+    with pytest.raises(SystemExit):
+        train_cli.main([
+            "--synthetic", "2", "--steps", "1", "--batch", "1",
+            "--max-points", "128", "--max-gt", "4", "--config", tiny_yaml,
+            "--out", str(tmp_path / "x"), "--gt-sampling", "Car:4",
+        ])
+
+
 def test_oversized_scan_subsample_is_decorrelated_per_scan(tmp_path, tiny_yaml):
     """Two oversized scans with identical contents but different stems must
     not drop the same point indices (per-(seed, stem) RNG, matching the
