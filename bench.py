@@ -176,6 +176,7 @@ def main():
         pulse_pair=os.environ.get("BENCH_PPAIR", "0") == "1",
         band_width=int(os.environ.get("BENCH_BAND", "0")),
         band_group=int(os.environ.get("BENCH_BGROUP", "8")),
+        route_band=int(os.environ.get("BENCH_ROUTE", "0")),
         pallas_transposed=os.environ.get("BENCH_TRANSPOSED", "0") == "1",
         chunk_group=8,
     )

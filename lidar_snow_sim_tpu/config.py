@@ -112,6 +112,16 @@ class SnowfallConfig:
     # denser banks (wider slices) on future hardware.
     band_width: int = 0
     band_group: int = 8
+    # span-ROUTED phase A (supersedes band_width when set): the XLA side
+    # classifies each chunk by its per-group conservative LUT spans; chunks
+    # whose every band_group fits ONE route_band-wide 128-aligned window
+    # (~98% at bench shapes — p99 group span is ~100 columns) run a
+    # single-band fast body over (group, route_band + wide) candidates,
+    # the rest (box-shadow azimuth-gap chunks) run the full-slice body —
+    # both gated bodies of ONE kernel, so no output merge is needed.
+    # Soundness by routing (the LUT bounds are conservative), not by the
+    # dual-band machinery that ate the round-3 single-band win.
+    route_band: int = 0
     # interleave two chunks per phase-A grid step (independent extraction
     # chains double the ILP of the latency-bound masked-argmin loop);
     # requires an even chunk count, else falls back to single-chunk

@@ -497,6 +497,13 @@ def snowfall_augment_dense(
         cfg.band_width > 0 and blk % cfg.band_group == 0
         and w_pallas >= 2 * cfg.band_width
     ) else 0
+    # span-routed phase A (config.route_band): needs the same per-group
+    # stats as the banded kernel; mutually exclusive with band_width
+    routed = (
+        cfg.route_band > 0 and not band
+        and blk % cfg.band_group == 0
+        and w_pallas >= cfg.route_band
+    )
     use_pallas = (
         cfg.use_pallas
         and (cfg.pallas_interpret or jax.default_backend() == "tpu")
@@ -573,7 +580,7 @@ def snowfall_augment_dense(
         # az, so ordering is consistent). With banding the bounds are
         # per-GROUP (n_chunks, G): each band_group of 8 consecutive points
         # gets its own narrow band slice.
-        if band:
+        if band or routed:
             gsz = cfg.band_group
             g_dim = blk // gsz
             lo_row = w0[:, None] + (
@@ -646,7 +653,7 @@ def snowfall_augment_dense(
             a_hi = jnp.minimum(w0 + blk, end_c)
             has = alive & (a_lo < a_hi)
             rows_b = row_of_chunk
-        if band:
+        if band or routed:
             min_az = jnp.where(has, min_az_b, jnp.inf)
             max_az = jnp.where(has, max_az_b, -jnp.inf)
         else:
@@ -677,7 +684,8 @@ def snowfall_augment_dense(
         feats_b = point_features(
             sx, sy, sz, cfg.beam_divergence_rad
         ).reshape(n_pad // blk, blk, -1)
-        transposed = cfg.pallas_transposed and not band and not cfg.pallas_pair
+        transposed = (cfg.pallas_transposed and not band and not routed
+                      and not cfg.pallas_pair)
         if transposed:
             # (n_blocks, N_FEAT, blk): feature rows on sublanes, point
             # lanes — the layout _kernel_t's relayout-free trips need
@@ -686,8 +694,10 @@ def snowfall_augment_dense(
             blk=blk, w_sl=w_pallas, wide_cap=bank.wide_t.shape[2],
             k_occ=cfg.max_occluders, beam_rad=cfg.beam_divergence_rad,
             interpret=cfg.pallas_interpret, transposed=transposed,
-            pair=cfg.pallas_pair and n_chunks % 2 == 0 and not band,
+            pair=(cfg.pallas_pair and n_chunks % 2 == 0 and not band
+                  and not routed),
             band=band, band_group=cfg.band_group,
+            route_band=cfg.route_band if routed else 0,
             batch_fold=cfg.batch_fold,
             # only the first wide_capacity wide lanes can hold real
             # candidates; slicing the rest out of the banded compute keeps
@@ -762,6 +772,67 @@ def snowfall_augment_dense(
                     0,
                 )
             )
+        elif routed:
+            band_r = cfg.route_band
+            # chunk hull anchor (same as the banded/full-slice kernels)
+            c_min_az = jnp.min(jnp.where(has, min_az_b, jnp.inf), axis=1)
+            c_max_az = jnp.max(jnp.where(has, max_az_b, -jnp.inf), axis=1)
+            cb_lo = jnp.clip(
+                jnp.floor((c_min_az - delta - LUT_LO) * inv_w) - 1,
+                0, LUT_BINS,
+            ).astype(jnp.int32)
+            cb_hi = jnp.clip(
+                jnp.floor((c_max_az + delta - LUT_LO) * inv_w) + 2,
+                0, LUT_BINS,
+            ).astype(jnp.int32)
+            lo_c_raw = bank.lut[row_of_chunk, cb_lo]
+            hi_c_req = bank.lut[row_of_chunk, cb_hi]
+            lo_c = jnp.clip(lo_c_raw, 0, k_ext - w_pallas)
+            lo_c = (lo_c // 128) * 128
+            # chunk-level DMA coverage (growth lever: slice_width)
+            chunk_unc = (bank.count[row_of_chunk] > w_pallas) & (
+                hi_c_req > lo_c + w_pallas
+            )
+            chunk_cover_of = jnp.sum(
+                jnp.where(chunk_unc,
+                          jnp.maximum(hi_c_req - (lo_c + w_pallas), 0), 0)
+            )
+            # one head-anchored band per group, clamped into the chunk
+            # slice so the in-VMEM views stay in bounds (128-aligned)
+            lo_a = (jnp.clip(lo_raw, 0, k_ext - band_r) // 128) * 128
+            lo_a = jnp.clip(lo_a, lo_c[:, None],
+                            lo_c[:, None] + (w_pallas - band_r))
+            # ROUTE: a group fits iff its conservative LUT window provably
+            # lies inside its band (or the band holds a full wrap period);
+            # a chunk goes fast only if every live group fits and its own
+            # slice is covered. The LUT bounds satisfy lo' <= true lo and
+            # hi' >= true hi, so fast-routed coverage is PROVEN, not
+            # checked — the residual deficit summed below is 0 by
+            # construction and only guards routing-logic regressions.
+            fits_g = (
+                (~has)
+                | (bank.count[rows_b] <= band_r)
+                | (hi_req <= lo_a + band_r)
+            )
+            has_chunk = jnp.any(has, axis=1)
+            fits = jnp.all(fits_g, axis=1) & ~chunk_unc
+            mode = jnp.where(
+                has_chunk, jnp.where(fits, 2, 1), 0
+            ).astype(jnp.int32)
+            fast_cover_of = jnp.sum(
+                jnp.where(
+                    has & fits[:, None] & (bank.count[rows_b] > band_r),
+                    jnp.maximum(hi_req - (lo_a + band_r), 0), 0,
+                )
+            )
+            cover_overflow = chunk_cover_of + fast_cover_of
+            occ_a12d, occ_of_pts = run(
+                feats_b, (w0 // blk).astype(jnp.int32), row_of_chunk,
+                lo_c.astype(jnp.int32),
+                lo_a.reshape(-1).astype(jnp.int32),
+                mode, bank.count.astype(jnp.int32),
+                bank.data_t, bank.wide_t,
+            )                                      # (3K, n_chunks * blk)
         else:
             lo = jnp.clip(lo_raw, 0, k_ext - w_pallas)
             lo = (lo // 128) * 128

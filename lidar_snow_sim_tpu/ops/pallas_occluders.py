@@ -581,6 +581,169 @@ def _kernel_banded(
     jax.lax.fori_loop(0, block_k, body, score)
 
 
+def _kernel_routed(
+    w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
+    rows_ref,      # (n_chunks,) i32, scalar-prefetch
+    los_ref,       # (n_chunks,) i32, scalar-prefetch: chunk slice starts
+    gloa_ref,      # (n_chunks * G,) i32: per-group 128-aligned band starts
+    mode_ref,      # (n_chunks,) i32: 0 dead, 1 full-slice, 2 fast-banded
+    counts_ref,    # (C_banks,) i32, scalar-prefetch
+    feat_ref,      # (1, blk, N_FEAT) VMEM block
+    bank_ref,      # (C_banks, N_PROP, K_ext) in HBM/ANY
+    wide_ref,      # (C_banks, N_PROP, Wc) in HBM/ANY
+    a12d_out,      # (3K, blk) block merged [a1; a2; dist] (K outer)
+    ovf_out,       # (1, 1, blk) i32
+    cand_scr,      # VMEM (N_PROP, W + Wc)
+    sems,          # DMA semaphores (2,)
+    *,
+    blk: int,
+    w_sl: int,
+    wide_cap: int,
+    k_occ: int,
+    band: int,
+    group: int,
+    wide_sl: int,
+):
+    """Span-ROUTED phase A: one kernel, two gated bodies.
+
+    The XLA side classifies each chunk by its per-group candidate spans
+    (conservative LUT bounds): chunks whose every band_group fits one
+    `band`-wide 128-aligned window take the FAST body — a single-band
+    variant of `_kernel_banded` carving per-group in-VMEM views out of the
+    one chunk-wide slice DMA — and the remainder (~2% at bench shapes:
+    box-shadow azimuth gaps) takes the full-slice body. Soundness lives in
+    the ROUTING, not in dual bands: the LUT bounds are conservative
+    (lo' <= true lo, hi' >= true hi), so a fast-routed group's window
+    provably fits its band and the dual-band machinery (second band,
+    inter-band dedup, per-point in-kernel coverage checks) that ate the
+    round-3 single-band win (BASELINE.md ledger) is not needed. Bit-exact
+    vs the full-slice kernel: identical ops over identical value sets per
+    (point, candidate); the kept wrap-period copy can differ between
+    layouts but copies carry bit-identical x/y/r/dist/azimuth properties.
+    """
+    i = pl.program_id(0)
+    row = rows_ref[i]
+    lo_c = pl.multiple_of(los_ref[i], 128)
+    mode = mode_ref[i]
+    g_dim = blk // group
+
+    @pl.when(mode == 0)
+    def _dead():
+        a12d_out[pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+            (2 * k_occ, blk), jnp.float32
+        )
+        a12d_out[pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+            (k_occ, blk), _BIG, jnp.float32
+        )
+        ovf_out[0, 0, :] = jnp.zeros((blk,), jnp.int32)
+
+    @pl.when(mode != 0)
+    def _live():
+        slice_cp = pltpu.make_async_copy(
+            bank_ref.at[row, :, pl.ds(lo_c, w_sl)],
+            cand_scr.at[:, pl.ds(0, w_sl)],
+            sems.at[0],
+        )
+        wide_cp = pltpu.make_async_copy(
+            wide_ref.at[row], cand_scr.at[:, pl.ds(w_sl, wide_cap)],
+            sems.at[1],
+        )
+        slice_cp.start()
+        wide_cp.start()
+        feat = feat_ref[0]                            # (blk, N_FEAT)
+        count = counts_ref[row]
+        slice_cp.wait()
+        wide_cp.wait()
+
+        a12d_out[pl.ds(0, 2 * k_occ), :] = jnp.zeros(
+            (2 * k_occ, blk), jnp.float32
+        )
+        a12d_out[pl.ds(2 * k_occ, k_occ), :] = jnp.full(
+            (k_occ, blk), _BIG, jnp.float32
+        )
+
+        @pl.when(mode == 1)
+        def _full():
+            score, a1b, a2b, ovf, block_k = _prep_side(
+                feat, cand_scr[:, :], count,
+                blk=blk, w_sl=w_sl, k_occ=k_occ,
+            )
+            ovf_out[0, 0, :] = ovf
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (blk, score.shape[1]), 1
+            )
+
+            def body(k, score):
+                return _extract_step(
+                    k, score, col, a1b, a2b, a12d_out, 0, k_occ
+                )
+
+            jax.lax.fori_loop(0, block_k, body, score)
+
+        @pl.when(mode == 2)
+        def _fast():
+            # per-group band views: 128-aligned differences of 128-aligned
+            # starts (the XLA side clamps band anchors into the chunk
+            # window). One 2-D (N_PROP, band) slice per group — NOT the 6
+            # per-property row reads of the dual-band kernel (full-height
+            # slices carry no sublane offset, so the stack lowers).
+            stacked = jnp.stack(
+                [
+                    cand_scr[
+                        :,
+                        pl.ds(
+                            pl.multiple_of(
+                                gloa_ref[i * g_dim + g] - lo_c, 128
+                            ),
+                            band,
+                        ),
+                    ]
+                    for g in range(g_dim)
+                ]
+            )                                     # (G, N_PROP, band)
+            wide_b = jnp.broadcast_to(
+                cand_scr[:, pl.ds(w_sl, wide_sl)][None],
+                (g_dim, N_PROP, wide_sl),
+            )
+            cand_all = jnp.concatenate([stacked, wide_b], axis=2)
+            cand = tuple(cand_all[:, p : p + 1, :] for p in range(6))
+
+            c_tot = band + wide_sl
+            col3 = jax.lax.broadcasted_iota(
+                jnp.int32, (g_dim, 1, c_tot), 2
+            )
+            # wrap-period dedup: keep one copy anchored at the band start
+            # (translation invariant); wide columns are never duplicated
+            keep = (col3 < count) | (col3 >= band)
+
+            score, a1b, a2b, ovf, block_k, col3 = _prep_banded(
+                feat, cand, keep, k_occ=k_occ,
+            )
+            ovf_out[0, 0, :] = ovf.reshape(blk)
+
+            c = score.shape[2]
+
+            def body(k, score):
+                m = jnp.min(score, axis=2, keepdims=True)  # (G, group, 1)
+                eq = score == m
+                first = jnp.min(
+                    jnp.where(eq, col3, c), axis=2, keepdims=True
+                )
+                onehot = col3 == first
+                a12d_out[pl.ds(k, 1), :] = jnp.sum(
+                    jnp.where(onehot, a1b, 0.0), axis=2
+                ).reshape(1, blk)
+                a12d_out[pl.ds(k_occ + k, 1), :] = jnp.sum(
+                    jnp.where(onehot, a2b, 0.0), axis=2
+                ).reshape(1, blk)
+                a12d_out[pl.ds(2 * k_occ + k, 1), :] = m[:, :, 0].reshape(
+                    1, blk
+                )
+                return jnp.where(onehot, _BIG, score)
+
+            jax.lax.fori_loop(0, block_k, body, score)
+
+
 def _kernel_pair(
     w0b_ref,       # (n_chunks,) i32, scalar-prefetch: feat block per chunk
     rows_ref,      # (n_chunks,) i32, scalar-prefetch
@@ -664,6 +827,7 @@ def make_pallas_occluder_phase(
     interpret: bool = False, pair: bool = False,
     band: int = 0, band_group: int = 8, wide_sl: int = 0,
     transposed: bool = False, batch_fold: bool = False,
+    route_band: int = 0,
 ):
     """Build the fused phase-A callable for fixed static shapes.
 
@@ -758,6 +922,66 @@ def make_pallas_occluder_phase(
             return a12d, ovf[:, 0, :], ovf[:, 1, :]
 
         return run_banded
+    if route_band:
+        g_dim = blk // band_group
+        assert blk % band_group == 0
+        w_used = wide_sl or wide_cap
+
+        def run_routed(feats_b, w0_blocks, rows, los, gloa, mode, counts,
+                       bank_data_t, bank_wide_t):
+            """mode (n_chunks,) i32: 0 dead, 1 full-slice, 2 fast-banded;
+            gloa (n_chunks * G,) absolute 128-aligned per-group band starts
+            (clamped into [los, los + w_sl - route_band] by the caller)."""
+            n_chunks = rows.shape[0]
+            kern = functools.partial(
+                _kernel_routed, blk=blk, w_sl=w_sl, wide_cap=wide_cap,
+                k_occ=k_occ, band=route_band, group=band_group,
+                wide_sl=w_used,
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=6,
+                grid=(n_chunks,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, blk, N_FEAT), lambda i, w0b, *_: (w0b[i], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (3 * k_occ, blk), lambda i, *_: (0, i),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, blk), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((N_PROP, w_sl + wide_cap), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            a12d, ovf = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct(
+                        (3 * k_occ, n_chunks * blk), jnp.float32
+                    ),
+                    jax.ShapeDtypeStruct((n_chunks, 1, blk), jnp.int32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(w0_blocks, rows, los, gloa, mode, counts, feats_b,
+              bank_data_t, bank_wide_t)
+            return a12d, ovf[:, 0, :]
+
+        return run_routed
     if pair:
         kernel = functools.partial(
             _kernel_pair, blk=blk, w_sl=w_sl, wide_cap=wide_cap, k_occ=k_occ,

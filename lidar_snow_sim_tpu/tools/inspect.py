@@ -64,6 +64,11 @@ def main(argv=None):
     ap.add_argument("--bev-color", default="label",
                     choices=("depth", "intensity", "label", "channel",
                              "height"))
+    ap.add_argument("--image", default=None,
+                    help="synchronized camera image (default: "
+                         "auto-discover the DENSE cam_stereo_left_lut "
+                         "sibling, populate_image pointcloud_viewer.py:"
+                         "3053-3065); stacked under the BEV PNG")
     args = ap.parse_args(argv)
     pc, report, boxes = run_pipeline(args, ap)
 
@@ -73,6 +78,7 @@ def main(argv=None):
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        from lidar_snow_sim_tpu.utils.datasets import find_camera_image
         from lidar_snow_sim_tpu.utils.render import bev_image
 
         img = bev_image(pc, color=args.bev_color)
@@ -80,6 +86,17 @@ def main(argv=None):
             from lidar_snow_sim_tpu.utils.boxes import draw_boxes_bev
 
             draw_boxes_bev(img, boxes)
+        cam_path = args.image or find_camera_image(args.scan)
+        if cam_path:
+            # the camera panel next to the cloud (populate_image): the
+            # camera frame is resized to the BEV width and stacked below
+            from PIL import Image
+
+            cam = Image.open(cam_path).convert("RGB")
+            w = img.shape[1]
+            cam = cam.resize((w, max(1, int(cam.height * w / cam.width))))
+            img = np.concatenate([img, np.asarray(cam, np.uint8)], axis=0)
+            report["camera_image"] = str(Path(cam_path).resolve())
         plt.imsave(args.bev, img)
         report["bev"] = str(Path(args.bev).resolve())
 

@@ -60,6 +60,7 @@ def main(argv=None):
         block_points=128, slice_width=1152, chunk_group=8,
         band_width=int(os.environ.get("BENCH_BAND", "0")),
         band_group=int(os.environ.get("BENCH_BGROUP", "8")),
+        route_band=int(os.environ.get("BENCH_ROUTE", "0")),
     )
     bank = jax.device_put(build_bank(
         sets, window_size=cfg.window_size,

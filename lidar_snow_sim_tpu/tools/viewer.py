@@ -17,7 +17,16 @@ points embedded as base64 Float32Array). Open the file in any browser:
   `pointcloud_viewer.py` temporal frames / utils.stf_meta.temporal_neighbors),
   each run through the same pipeline; switch with arrow keys or the frame
   selector
-- GT/prediction box wireframes (KITTI label files, `--labels`)
+- GT/prediction box wireframes (KITTI label files, `--labels`), plus the
+  Qt viewer's SAVED-RESULTS surface: `--results result.pkl` renders the
+  matching frame's OpenPCDet predictions with a live score-threshold
+  slider (`load_results`/`visualize_predictions`/`add_predictions`,
+  `pointcloud_viewer.py:1388-1478`), and `--pcdet-dict frame.pkl` renders
+  a pickled pcdet data_dict's points + gt_boxes (`show_pcdet_dict`,
+  `:2500-2556`)
+- the synchronized camera frame as an embedded panel when the DENSE
+  `cam_stereo_left_lut` sibling (or `--image`) exists (`populate_image`,
+  `:3053-3065`)
 - the augmentation stat labels and log string the Qt viewer shows
   (`pointcloud_viewer.py:2823-2830,3122-3153`)
 - point-size and decimation controls
@@ -100,13 +109,17 @@ _PAGE = """<!DOCTYPE html>
  .stat {{ margin:1px 0; white-space:pre-wrap; }}
 </style></head><body>
 <canvas id="c"></canvas>
+<img id="cam" style="position:fixed;top:8px;right:8px;max-width:38vw;
+ max-height:30vh;border:1px solid #333;border-radius:4px;display:none">
 <div id="hud">
  <div><b>{title}</b></div>
  <div>frame <select id="frame">{frame_options}</select>
   color <select id="mode">{mode_options}</select></div>
  <div>size <input id="psz" type="range" min="1" max="4" value="1"
    style="width:70px">
-  boxes <input id="bx" type="checkbox" checked></div>
+  boxes <input id="bx" type="checkbox" checked>
+  pred&ge; <input id="thr" type="range" min="0" max="100" value="{pred_threshold}"
+   style="width:70px"><span id="thrv">{pred_threshold}</span></div>
  {stats_html}
  <div class="stat" style="color:#888">drag orbit / wheel zoom /
  shift-drag pan / arrow keys switch frame</div>
@@ -145,6 +158,7 @@ const ctx = cv.getContext("2d");
 let yaw = -2.2, pitch = 0.9, zoom = 9.0, panx = 0, pany = 0;
 let fi = {center_index};
 let mode = MODES[0], psz = 1, showBoxes = true;
+let predThr = {pred_threshold};
 
 function resize() {{
   cv.width = innerWidth; cv.height = innerHeight; draw();
@@ -182,11 +196,13 @@ function draw() {{
   }}
   ctx.putImageData(img, 0, 0);
   if (showBoxes && fr.boxes.length) {{
-    ctx.strokeStyle = "#3cf06c"; ctx.lineWidth = 1.2;
+    ctx.lineWidth = 1.2;
     const E = [[0,1],[1,2],[2,3],[3,0],[4,5],[5,6],[6,7],[7,4],
                [0,4],[1,5],[2,6],[3,7]];
-    for (const box of fr.boxes) {{
-      const pts = box.map(([x0, y0, z0]) => {{
+    for (const entry of fr.boxes) {{
+      if (entry.s >= 0 && entry.s * 100 <= predThr) continue;
+      ctx.strokeStyle = entry.col;
+      const pts = entry.c.map(([x0, y0, z0]) => {{
         const x1 = cy * x0 + sy * y0;
         const y1 = -sy * x0 + cy * y0;
         const z2 = cp * z0 - sp * y1;
@@ -226,10 +242,16 @@ cv.addEventListener("wheel", e => {{
   e.preventDefault(); requestAnimationFrame(draw);
 }}, {{ passive: false }});
 const frameSel = document.getElementById("frame");
+const camImg = document.getElementById("cam");
 function setFrame(j) {{
   fi = Math.max(0, Math.min(FRAMES.length - 1, j));
-  frameSel.value = fi; draw();
+  frameSel.value = fi;
+  const im = FRAMES[fi].img;
+  camImg.style.display = im ? "block" : "none";
+  if (im) camImg.src = im;
+  draw();
 }}
+setFrame(fi);
 frameSel.addEventListener("change", e => setFrame(+e.target.value));
 addEventListener("keydown", e => {{
   if (e.key === "ArrowRight") setFrame(fi + 1);
@@ -244,12 +266,67 @@ document.getElementById("psz").addEventListener("input", e => {{
 document.getElementById("bx").addEventListener("change", e => {{
   showBoxes = e.target.checked; draw();
 }});
+document.getElementById("thr").addEventListener("input", e => {{
+  predThr = +e.target.value;
+  document.getElementById("thrv").textContent = e.target.value;
+  draw();
+}});
 resize();
 </script></body></html>
 """
 
 
-def _frame_payload(pc: np.ndarray, boxes, max_points: int) -> dict:
+def _box_entries(boxes, preds) -> list:
+    """GT boxes (always shown, class-colored) + prediction boxes (score-
+    thresholded in the page, the Qt viewer's prediction_threshold_slider —
+    `pointcloud_viewer.py:1476-1478`; DET_COLORS per class)."""
+    from lidar_snow_sim_tpu.utils.boxes import (
+        BOX_COLORS,
+        DET_COLORS,
+        DET_FALLBACK_COLOR,
+    )
+
+    def css(rgb):
+        return "#%02x%02x%02x" % tuple(rgb)
+
+    out = []
+    for b in boxes or []:
+        out.append({
+            "c": np.round(b.corners(), 3).tolist(),
+            "col": css(BOX_COLORS.get(b.identity, (60, 240, 108))),
+            "s": -1.0,
+        })
+    for b in preds or []:
+        try:
+            col = DET_COLORS[
+                ("Car", "Pedestrian", "Cyclist").index(b.identity)
+            ]
+        except ValueError:
+            col = DET_FALLBACK_COLOR
+        out.append({
+            "c": np.round(b.corners(), 3).tolist(),
+            "col": css(col),
+            "s": round(float(b.score), 4),
+        })
+    return out
+
+
+def _image_data_url(path) -> str | None:
+    """Base64 data URL of the synchronized camera frame (populate_image,
+    `pointcloud_viewer.py:3053-3065`) — embedded so the HTML stays
+    self-contained."""
+    if not path:
+        return None
+    p = Path(path)
+    if not p.exists():
+        return None
+    mime = {".png": "image/png", ".jpg": "image/jpeg",
+            ".jpeg": "image/jpeg"}.get(p.suffix.lower(), "image/png")
+    return f"data:{mime};base64," + base64.b64encode(p.read_bytes()).decode()
+
+
+def _frame_payload(pc: np.ndarray, boxes, max_points: int,
+                   preds=None, image=None) -> dict:
     if len(pc) > max_points:
         # deterministic stride decimation keeps the spatial distribution
         step = -(-len(pc) // max_points)
@@ -261,7 +338,8 @@ def _frame_payload(pc: np.ndarray, boxes, max_points: int) -> dict:
         "ys": _b64(pc[:, 1].astype(np.float32)),
         "zs": _b64(pc[:, 2].astype(np.float32)),
         "colors": {m: _b64(planes[m]) for m in MODES},
-        "boxes": [np.round(b.corners(), 3).tolist() for b in (boxes or [])],
+        "boxes": _box_entries(boxes, preds),
+        "img": _image_data_url(image),
     }
 
 
@@ -273,15 +351,21 @@ def write_viewer_html(
     stats: dict | None = None,
     center_index: int = 0,
     max_points: int = 200_000,
+    pred_threshold: int = 50,
 ) -> Path:
-    """Render frames [(name, (N, 5) points, boxes)] to one self-contained
-    interactive HTML file; `center_index` selects the initially shown
-    frame (the non-neighbor sample)."""
+    """Render frames [(name, (N, 5) points, boxes[, preds[, image]])] to
+    one self-contained interactive HTML file; `center_index` selects the
+    initially shown frame (the non-neighbor sample). `preds` are Box3D
+    predictions gated live by the score-threshold slider (initially
+    `pred_threshold` %); `image` embeds the synchronized camera frame."""
     payloads = []
     names = []
-    for name, pc, boxes in frames:
+    for entry in frames:
+        name, pc, boxes = entry[0], entry[1], entry[2]
+        preds = entry[3] if len(entry) > 3 else None
+        image = entry[4] if len(entry) > 4 else None
         names.append(name)
-        d = _frame_payload(pc, boxes, max_points)
+        d = _frame_payload(pc, boxes, max_points, preds=preds, image=image)
         d["name"] = name
         payloads.append(d)
     turbo = _turbo256()
@@ -313,6 +397,7 @@ def write_viewer_html(
             f'<option value="{m}">{m}</option>' for m in MODES
         ),
         stats_html=stats_html,
+        pred_threshold=int(pred_threshold),
     )
     out_path = Path(out_path)
     out_path.write_text(page)
@@ -352,6 +437,20 @@ def main(argv=None):
                     help="output HTML file")
     ap.add_argument("--max-points", type=int, default=200_000,
                     help="decimate above this many points (per frame)")
+    ap.add_argument("--results",
+                    help="OpenPCDet result.pkl: render the matching "
+                         "frame's predictions (viewer load_results/"
+                         "visualize_predictions surface)")
+    ap.add_argument("--pred-threshold", type=int, default=50,
+                    help="initial prediction score-threshold slider "
+                         "position (percent)")
+    ap.add_argument("--pcdet-dict", dest="pcdet_dict",
+                    help="render a pickled pcdet data_dict (points + "
+                         "gt_boxes) instead of running the pipeline "
+                         "(show_pcdet_dict surface)")
+    ap.add_argument("--image",
+                    help="camera image to embed (default: auto-discover "
+                         "the DENSE cam_stereo_left_lut sibling)")
     ap.add_argument("--neighbors", default="0:0",
                     help="temporal frame range LO:HI around the sample "
                          "(the Qt viewer browses -6:4; pass as "
@@ -360,6 +459,35 @@ def main(argv=None):
                          "pipeline")
     args = ap.parse_args(argv)
 
+    from lidar_snow_sim_tpu.utils.boxes import boxes_from_array
+    from lidar_snow_sim_tpu.utils.datasets import (
+        find_camera_image,
+        load_pcdet_dict,
+        load_result_pkl,
+        result_predictions,
+    )
+
+    if args.pcdet_dict:
+        # show_pcdet_dict path: the pickled dict IS the frame
+        pc, gt = load_pcdet_dict(args.pcdet_dict)
+        boxes = boxes_from_array(
+            gt, class_names=("",) + ("Car", "Pedestrian", "Cyclist")
+        )  # pcdet gt_boxes carry 1-based class ids
+        name = Path(args.pcdet_dict).stem
+        out = write_viewer_html(
+            [(name, pc, boxes, None, args.image)], args.out,
+            title=f"{name} [pcdet dict]",
+            stats={"points": len(pc), "gt_boxes": len(boxes)},
+            max_points=args.max_points,
+            pred_threshold=args.pred_threshold,
+        )
+        print(json.dumps({"viewer_html": str(out.resolve()),
+                          "points": len(pc), "gt_boxes": len(boxes)},
+                         indent=2))
+        return 0
+
+    result = load_result_pkl(args.results) if args.results else None
+
     lo, hi = (int(v) for v in args.neighbors.split(":"))
     scan = Path(args.scan)
     paths = _neighbor_paths(scan, lo, hi)
@@ -367,20 +495,43 @@ def main(argv=None):
     frames = []
     center_index = 0
     report = None
+    n_preds = 0
     for p in paths:
         fargs = copy.copy(args)
         fargs.scan = str(p)
         pc, rep, boxes = run_pipeline(fargs, ap)
+        preds = None
+        if result is not None:
+            # STF frame ids are `date,frame`; files are `date_frame.bin`
+            fid = p.stem
+            try:
+                arr = result_predictions(result, fid)
+            except KeyError:
+                try:
+                    arr = result_predictions(
+                        result, fid.replace("_", ",", 1)
+                    ) if "_" in fid else None
+                except KeyError:
+                    arr = None
+            if arr is not None:
+                preds = boxes_from_array(
+                    arr, class_names=("Car", "Pedestrian", "Cyclist")
+                )
+                n_preds += len(preds)
+        image = args.image if p.resolve() == scan.resolve() else None
+        image = image or find_camera_image(p)
         if p.resolve() == scan.resolve():
             center_index = len(frames)
             report = rep
-        frames.append((p.stem, pc, boxes))
+        frames.append((p.stem, pc, boxes, preds, image))
 
     report = report or {}
     stats = {"frames": len(frames), "log": report.get("log", "")}
     for key in ("snow", "wet", "lisa", "fog", "stf_fog", "dror", "labels"):
         if key in report:
             stats[key] = report[key]
+    if result is not None:
+        stats["predictions"] = n_preds
     out = write_viewer_html(
         frames,
         args.out,
@@ -388,9 +539,10 @@ def main(argv=None):
         stats=stats,
         center_index=center_index,
         max_points=args.max_points,
+        pred_threshold=args.pred_threshold,
     )
     report["viewer_html"] = str(out.resolve())
-    report["frames_embedded"] = [n for n, _, _ in frames]
+    report["frames_embedded"] = [entry[0] for entry in frames]
     print(json.dumps(report, indent=2))
     return 0
 

@@ -146,6 +146,63 @@ def load_npz(path: str | Path, points_key: str = "points",
     return normalize_pc(np.column_stack(cols))
 
 
+# class -> index lookup of the reference's prediction renderer
+# (`pointcloud_viewer.py:1425-1428`); unknown names map past the table like
+# the reference's IndexError fallback color
+PCDET_CLASS_LOOKUP = {"Car": 0, "Pedestrian": 1, "Cyclist": 2}
+
+
+def load_result_pkl(path: str | Path) -> list:
+    """OpenPCDet evaluation output ``result.pkl`` — the container behind
+    the reference viewer's saved-results visualization (`load_results`,
+    `pointcloud_viewer.py:1388-1408`): a list of per-frame dicts with
+    ``frame_id`` / ``boxes_lidar`` (N, 7) / ``name`` (N,) / ``score`` (N,),
+    returned sorted by frame_id exactly like the reference."""
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    return sorted(data, key=lambda d: d["frame_id"])
+
+
+def result_predictions(result: list, frame_id,
+                       lookup: dict | None = None) -> np.ndarray:
+    """(N, 9) ``[box7 | class idx | score]`` prediction array for one frame
+    (`visualize_predictions`, `pointcloud_viewer.py:1412-1437`). Raises
+    KeyError when the frame is absent — the reference asserts the frame
+    match instead of silently rendering the wrong predictions."""
+    lookup = lookup or PCDET_CLASS_LOOKUP
+    for d in result:
+        if str(d["frame_id"]) == str(frame_id):
+            boxes = np.asarray(d["boxes_lidar"], np.float32).reshape(-1, 7)
+            p = np.zeros((len(boxes), 9), np.float32)
+            p[:, :7] = boxes
+            p[:, 7] = [lookup.get(n, len(lookup)) for n in d["name"]]
+            p[:, 8] = np.asarray(d["score"], np.float32)
+            return p
+    raise KeyError(f"frame {frame_id!r} not in result pkl")
+
+
+def load_pcdet_dict(path: str | Path):
+    """A pickled OpenPCDet data_dict (`show_pcdet_dict`,
+    `pointcloud_viewer.py:2500-2556`): returns (points (N, 5) normalized,
+    gt_boxes (G, >=7) float32 — column 7, when present, is the 1-based
+    class id pcdet appends)."""
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    gt = np.asarray(
+        d.get("gt_boxes", np.zeros((0, 7), np.float32)), np.float32
+    )
+    return normalize_pc(np.asarray(d["points"])), gt
+
+
+def find_camera_image(scan_path: str | Path) -> Path | None:
+    """The synchronized camera frame of a DENSE scan (`populate_image`,
+    `pointcloud_viewer.py:3053-3065`): ``../cam_stereo_left_lut/<stem>.png``
+    relative to the lidar folder. Returns None when absent."""
+    p = Path(scan_path)
+    img = p.parent.parent / "cam_stereo_left_lut" / (p.stem + ".png")
+    return img if img.exists() else None
+
+
 def load_pointcloud(path: str | Path, dataset: str = "DENSE") -> np.ndarray:
     """Dispatch on dataset name (DATASET_FORMATS) or file extension."""
     path = Path(path)

@@ -118,3 +118,70 @@ def test_dispatch_by_dataset_and_extension(tmp_path, xyz_i):
     assert out.shape == (50, 5)
     with pytest.raises(ValueError):
         load_pointcloud(tmp_path / "x.xyz", dataset="unknown")
+
+
+def test_result_pkl_roundtrip(tmp_path):
+    """OpenPCDet result.pkl loader (load_results semantics: sorted by
+    frame_id) + per-frame prediction arrays (visualize_predictions: the
+    Car/Pedestrian/Cyclist 0-based lookup, frame mismatch raises)."""
+    import pickle
+
+    from lidar_snow_sim_tpu.utils.datasets import (
+        load_result_pkl,
+        result_predictions,
+    )
+
+    result = [
+        {"frame_id": "b", "boxes_lidar": np.ones((2, 7), np.float32),
+         "name": np.array(["Car", "Tram"]),
+         "score": np.array([0.5, 0.25], np.float32)},
+        {"frame_id": "a", "boxes_lidar": np.zeros((1, 7), np.float32),
+         "name": np.array(["Pedestrian"]),
+         "score": np.array([0.8], np.float32)},
+    ]
+    p = tmp_path / "result.pkl"
+    p.write_bytes(pickle.dumps(result))
+    loaded = load_result_pkl(p)
+    assert [d["frame_id"] for d in loaded] == ["a", "b"]  # sorted
+
+    arr = result_predictions(loaded, "b")
+    assert arr.shape == (2, 9)
+    assert arr[0, 7] == 0          # Car -> 0 (reference lookup)
+    assert arr[1, 7] == 3          # unknown class -> past the table
+    np.testing.assert_allclose(arr[:, 8], [0.5, 0.25])
+    with pytest.raises(KeyError):
+        result_predictions(loaded, "missing")
+
+
+def test_pcdet_dict_loader(tmp_path):
+    import pickle
+
+    from lidar_snow_sim_tpu.utils.datasets import load_pcdet_dict
+
+    d = {"points": np.ones((7, 4), np.float32),
+         "gt_boxes": np.ones((2, 8), np.float32)}
+    p = tmp_path / "f.pkl"
+    p.write_bytes(pickle.dumps(d))
+    pc, gt = load_pcdet_dict(p)
+    assert pc.shape == (7, 5) and gt.shape == (2, 8)
+    pc2, gt2 = load_pcdet_dict(tmp_path / "f.pkl")
+    assert gt2.shape == (2, 8)
+    # dict without gt_boxes -> empty boxes, not a crash
+    p2 = tmp_path / "g.pkl"
+    p2.write_bytes(pickle.dumps({"points": np.ones((3, 4), np.float32)}))
+    _, gt3 = load_pcdet_dict(p2)
+    assert gt3.shape == (0, 7)
+
+
+def test_find_camera_image(tmp_path):
+    from lidar_snow_sim_tpu.utils.datasets import find_camera_image
+
+    lidar = tmp_path / "lidar_hdl64"
+    cam = tmp_path / "cam_stereo_left_lut"
+    lidar.mkdir()
+    cam.mkdir()
+    (cam / "2019-01-01_00001.png").write_bytes(b"png")
+    assert find_camera_image(lidar / "2019-01-01_00001.bin") == (
+        cam / "2019-01-01_00001.png"
+    )
+    assert find_camera_image(lidar / "2019-01-01_00002.bin") is None

@@ -98,13 +98,17 @@ def test_dense_channel_overflow_detected(setup):
 
 
 @pytest.mark.parametrize(
-    "band,transposed", [(0, False), (256, False), (0, True)]
+    "band,transposed,route", [
+        (0, False, 0), (256, False, 0), (0, True, 0), (0, False, 256),
+        (0, False, 128),
+    ]
 )
-def test_pallas_phase_matches_window(setup, band, transposed):
+def test_pallas_phase_matches_window(setup, band, transposed, route):
     """The fused Pallas phase-A kernel (interpret mode on CPU) must keep the
     dense path bit-identical to the window path — the full-slice (band=0),
-    the banded per-group variant, and the transposed (points-on-lanes)
-    layout."""
+    the banded per-group variant, the transposed (points-on-lanes)
+    layout, and the span-ROUTED kernel (route_band > 0; route=128 forces a
+    mix of fast-banded and full-slice chunks through BOTH gated bodies)."""
     base = dict(
         max_points=8192, window_size=256, wide_capacity=64,
         max_occluders=48, max_bumps=24, point_chunk=256,
@@ -116,7 +120,7 @@ def test_pallas_phase_matches_window(setup, band, transposed):
             **base, assembly="dense", channel_capacity=128,
             block_points=32, slice_width=256, chunk_group=8,
             use_pallas=True, pallas_interpret=True, band_width=band,
-            pallas_transposed=transposed,
+            pallas_transposed=transposed, route_band=route,
         ),
     )
     assert int(rp.window_overflow) == 0

@@ -227,11 +227,108 @@ def test_viewer_html(tmp_path, calib):
         assert set(f["colors"]) == {
             "label", "intensity", "height", "channel", "depth"
         }
-        assert len(f["boxes"]) == 1 and len(f["boxes"][0]) == 8
+        assert len(f["boxes"]) == 1 and len(f["boxes"][0]["c"]) == 8
+        assert f["boxes"][0]["s"] == -1.0  # GT: never score-thresholded
     assert 'value="1" selected' in s  # center frame initially shown
     for mode in ("label", "intensity", "height", "channel", "depth"):
         assert f'<option value="{mode}">' in s
     assert "drag orbit" in s and "arrow keys" in s
     # brace-balanced script (the template is .format()-escaped JS)
+    js = s[s.index("<script>"):]
+    assert js.count("{") == js.count("}")
+
+
+def test_viewer_result_pkl_and_camera_panel(tmp_path, calib):
+    """Saved-results visualization (the Qt viewer's load_results /
+    visualize_predictions, pointcloud_viewer.py:1388-1478) + the
+    synchronized camera panel (populate_image, :3053-3065): an OpenPCDet
+    result.pkl's matching frame renders score-thresholdable prediction
+    boxes alongside GT, and the DENSE cam_stereo_left_lut sibling image is
+    embedded."""
+    import base64
+    import json as _json
+    import pickle
+    import re
+
+    from lidar_snow_sim_tpu.tools.viewer import main as viewer_main
+    from lidar_snow_sim_tpu.utils.synthetic import synthetic_scan
+
+    lidar = tmp_path / "lidar_hdl64"
+    cam = tmp_path / "cam_stereo_left_lut"
+    lidar.mkdir()
+    cam.mkdir()
+    pc = synthetic_scan(n_azimuth=120, seed=1, calib=calib)
+    scan = lidar / "2019-01-01_00007.bin"
+    pc.astype(np.float32).tofile(scan)
+    # tiny valid PNG (1x1, via matplotlib-free raw write through PIL)
+    from PIL import Image
+
+    Image.new("RGB", (4, 3), (10, 200, 30)).save(cam / scan.stem.__add__(".png"))
+
+    result = [
+        {
+            "frame_id": "2019-01-01_00007",
+            "boxes_lidar": np.array(
+                [[10.0, 1.0, -0.8, 3.9, 1.6, 1.5, 0.2],
+                 [20.0, -2.0, -0.8, 0.8, 0.6, 1.7, 0.0]], np.float32
+            ),
+            "name": np.array(["Car", "Pedestrian"]),
+            "score": np.array([0.9, 0.3], np.float32),
+        },
+        {"frame_id": "0000", "boxes_lidar": np.zeros((0, 7), np.float32),
+         "name": np.array([]), "score": np.zeros(0, np.float32)},
+    ]
+    rp = tmp_path / "result.pkl"
+    rp.write_bytes(pickle.dumps(result))
+
+    out = tmp_path / "v.html"
+    assert viewer_main(
+        [str(scan), "--out", str(out), "--results", str(rp),
+         "--pred-threshold", "25", "--max-points", "4000"]
+    ) == 0
+    s = out.read_text()
+    frames = _json.loads(
+        re.search(r"const FRAMES = (\[.*?\]);\n", s, re.S).group(1)
+    )
+    boxes = frames[0]["boxes"]
+    scores = sorted(b["s"] for b in boxes)
+    assert scores == [0.3, 0.9]  # two predictions, no GT labels passed
+    assert len({b["col"] for b in boxes}) == 2  # per-class colors
+    assert frames[0]["img"] and frames[0]["img"].startswith(
+        "data:image/png;base64,"
+    )
+    assert 'value="25"' in s  # initial slider position
+    assert "predThr" in s
+
+
+def test_viewer_pcdet_dict(tmp_path):
+    """show_pcdet_dict (pointcloud_viewer.py:2500-2556): a pickled pcdet
+    data_dict renders its points and gt_boxes directly."""
+    import json as _json
+    import pickle
+    import re
+
+    from lidar_snow_sim_tpu.tools.viewer import main as viewer_main
+
+    rng = np.random.default_rng(0)
+    d = {
+        "points": rng.uniform(-10, 10, (500, 4)).astype(np.float32),
+        "gt_boxes": np.array(
+            [[5.0, 0.0, -0.5, 3.9, 1.6, 1.5, 0.3, 1.0]], np.float32
+        ),
+        "frame_id": "x",
+    }
+    p = tmp_path / "frame.pkl"
+    p.write_bytes(pickle.dumps(d))
+    out = tmp_path / "v.html"
+    assert viewer_main(
+        [str(p), "--pcdet-dict", str(p), "--out", str(out)]
+    ) == 0
+    s = out.read_text()
+    frames = _json.loads(
+        re.search(r"const FRAMES = (\[.*?\]);\n", s, re.S).group(1)
+    )
+    assert frames[0]["n"] == 500
+    assert len(frames[0]["boxes"]) == 1
     js = s[s.index("<script>"):]
     assert js.count("{") == js.count("}")
