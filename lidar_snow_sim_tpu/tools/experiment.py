@@ -144,7 +144,8 @@ def get_bank(calib, cfg, cache_dir: Path):
     )
 
 
-def snowify(scans: Path, stems, out_dir: Path, calib, batch=4):
+def snowify(scans: Path, stems, out_dir: Path, calib, batch=4,
+            max_points=16384):
     """Snow-augment every scan with the offline datagen driver (resume
     semantics, counted capacities — `parallel/datagen.py`)."""
     from lidar_snow_sim_tpu.config import SnowfallConfig
@@ -152,9 +153,9 @@ def snowify(scans: Path, stems, out_dir: Path, calib, batch=4):
     from lidar_snow_sim_tpu.utils.pointcloud import load_velodyne_bin
 
     cfg = SnowfallConfig(
-        max_points=16384, window_size=128, wide_capacity=16,
+        max_points=max_points, window_size=128, wide_capacity=16,
         max_occluders=24, max_bumps=16, point_chunk=2048,
-        channel_capacity=512,
+        channel_capacity=max(max_points // 32, 128),
     )
     bank = get_bank(calib, cfg, Path(__file__).parents[2] / "banks_cache")
     stats = run_snowfall_datagen(
@@ -175,6 +176,7 @@ def snowify(scans: Path, stems, out_dir: Path, calib, batch=4):
 def train(scans: Path, labels: Path, out: Path, steps: int, yaml_path: Path,
           seed=0, init_params=None, batch=4, max_points=16384,
           augment=False, gt_sampling=""):
+    """One tools/train.py invocation (the OpenPCDet train.py stand-in)."""
     from lidar_snow_sim_tpu.tools import train as train_cli
 
     argv = [
@@ -254,6 +256,9 @@ def main(argv=None):
     ap.add_argument("--finetune-steps", type=int, default=150)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-azimuth", type=int, default=220,
+                    help="scene azimuth resolution (scan size knob)")
+    ap.add_argument("--max-points", type=int, default=16384)
     ap.add_argument("--augment", action="store_true",
                     help="world augmentations during both trainings")
     ap.add_argument("--gt-sampling", default="",
@@ -278,17 +283,21 @@ def main(argv=None):
 
     print("== corpus ==", file=sys.stderr)
     tr_scans, tr_labels, tr_stems = build_corpus(
-        work / "clear_train", args.train_frames, args.seed, calib
+        work / "clear_train", args.train_frames, args.seed, calib,
+        n_azimuth=args.n_azimuth,
     )
     ev_scans, ev_labels, ev_stems = build_corpus(
-        work / "clear_eval", args.eval_frames, args.seed + 777, calib
+        work / "clear_eval", args.eval_frames, args.seed + 777, calib,
+        n_azimuth=args.n_azimuth,
     )
 
     print("== snowify (datagen driver) ==", file=sys.stderr)
     snow_tr = work / "snow_train"
     snow_ev = work / "snow_eval"
-    dg_train = snowify(tr_scans, tr_stems, snow_tr, calib, args.batch)
-    dg_eval = snowify(ev_scans, ev_stems, snow_ev, calib, args.batch)
+    dg_train = snowify(tr_scans, tr_stems, snow_tr, calib, args.batch,
+                       max_points=args.max_points)
+    dg_eval = snowify(ev_scans, ev_stems, snow_ev, calib, args.batch,
+                      max_points=args.max_points)
 
     print("== arm A: init vs trained (clear) ==", file=sys.stderr)
     import jax
@@ -298,32 +307,36 @@ def main(argv=None):
     np.savez(ip, **{k: np.asarray(v) for k, v in p0.items()})
     ap_init = evaluate_params(
         {k: np.asarray(v) for k, v in p0.items()},
-        ev_scans, ev_labels, ev_stems, cfg,
+        ev_scans, ev_labels, ev_stems, cfg, max_points=args.max_points,
     )
     clear_params = train(
         tr_scans, tr_labels, work / "ckpt_clear", args.steps, yaml_path,
         seed=args.seed, batch=args.batch, augment=args.augment,
-        gt_sampling=args.gt_sampling,
+        gt_sampling=args.gt_sampling, max_points=args.max_points,
     )
     from lidar_snow_sim_tpu.tools.convert_checkpoint import load_params
 
     pc_ = load_params(clear_params)
-    ap_trained = evaluate_params(pc_, ev_scans, ev_labels, ev_stems, cfg)
+    ap_trained = evaluate_params(pc_, ev_scans, ev_labels, ev_stems, cfg, max_points=args.max_points)
 
     print("== arm B: clear-trained vs snow-finetuned (snow eval) ==",
           file=sys.stderr)
     ap_clear_on_snow = evaluate_params(
-        pc_, snow_ev, ev_labels, ev_stems, cfg
+        pc_, snow_ev, ev_labels, ev_stems, cfg, max_points=args.max_points,
     )
     snow_ckpt = train(
         snow_tr, tr_labels, work / "ckpt_snow", args.finetune_steps,
         yaml_path, seed=args.seed + 1, init_params=clear_params,
         batch=args.batch, augment=args.augment,
-        gt_sampling=args.gt_sampling,
+        gt_sampling=args.gt_sampling, max_points=args.max_points,
     )
     ps_ = load_params(snow_ckpt)
-    ap_snow_on_snow = evaluate_params(ps_, snow_ev, ev_labels, ev_stems, cfg)
-    ap_snow_on_clear = evaluate_params(ps_, ev_scans, ev_labels, ev_stems, cfg)
+    ap_snow_on_snow = evaluate_params(
+        ps_, snow_ev, ev_labels, ev_stems, cfg, max_points=args.max_points,
+    )
+    ap_snow_on_clear = evaluate_params(
+        ps_, ev_scans, ev_labels, ev_stems, cfg, max_points=args.max_points,
+    )
 
     headline = lambda t: t["Car"]["3d"]  # noqa: E731
     artifact = {
