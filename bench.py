@@ -175,8 +175,12 @@ def main():
         pallas_pair=os.environ.get("BENCH_PAIR", "0") == "1",
         pulse_pair=os.environ.get("BENCH_PPAIR", "0") == "1",
         band_width=int(os.environ.get("BENCH_BAND", "0")),
-        band_group=int(os.environ.get("BENCH_BGROUP", "8")),
-        route_band=int(os.environ.get("BENCH_ROUTE", "0")),
+        # span-routed phase A is the round-4 default: 384-wide fast band,
+        # 16-beam groups (chain-length sweep + in-chain device trace both
+        # put it ~23% under the full-slice kernel; see BASELINE.md round-4
+        # ledger). BENCH_ROUTE=0 restores the full-slice kernel.
+        band_group=int(os.environ.get("BENCH_BGROUP", "16")),
+        route_band=int(os.environ.get("BENCH_ROUTE", "384")),
         pallas_transposed=os.environ.get("BENCH_TRANSPOSED", "0") == "1",
         chunk_group=8,
     )
@@ -265,9 +269,21 @@ def main():
         run_chain(short)            # compile both shapes
         run_chain(long_)
         t_compile = time.time() - t_b0
-        t_short, _, _ = run_chain(short)
-        t_long, _, ovf = run_chain(long_)
+        # median-of-REPS for BOTH endpoints: single-sample slopes were
+        # demonstrated to swing an A/B by >20% when one tunnel call lands
+        # on a congested window (round-4 ledger, span-routed kernel saga)
+        reps = max(int(os.environ.get("BENCH_REPS", "3")), 1)
+        ts_s, ts_l = [], []
+        for _ in range(reps):
+            t, _, _ = run_chain(short)
+            ts_s.append(t)
+        for _ in range(reps):
+            t, _, ovf = run_chain(long_)
+            ts_l.append(t)
+        t_short = sorted(ts_s)[reps // 2]
+        t_long = sorted(ts_l)[reps // 2]
         dt = (t_long - t_short) / (long_ - short)
+        spread = (max(ts_l) - min(ts_l)) / (long_ - short)
 
         # XLA's own accounting of the non-Pallas portion of one chain step
         # (lowered at the already-compiled short-chain shape, so this hits
@@ -293,6 +309,7 @@ def main():
             batch=batch,
             scans_per_sec=batch / dt,
             step_ms=dt * 1e3,
+            step_ms_spread=spread * 1e3,
             overflow=int(ovf.sum()),
             compile_s=t_compile,
             xla_cost=xla_cost,

@@ -615,21 +615,28 @@ def snowfall_augment_dense(
             nwin = bpc1 * (blk // gsz)
             wstart = ((start // blk) * blk // gsz).astype(jnp.int32)
 
-            def per_channel(arr, fill):
-                arr = jnp.concatenate(
-                    [arr, jnp.full((nwin,), fill, arr.dtype)]
+            # ONE stacked (6, n_wins) slice per channel instead of six
+            # separate vmapped slice launches (channel ids <= 64 are exact
+            # in f32, so the int rows ride the float stack losslessly)
+            stacked = jnp.stack([
+                jnp.concatenate([chf.astype(jnp.float32),
+                                 jnp.full((nwin,), -1.0, jnp.float32)]),
+                jnp.concatenate([chl.astype(jnp.float32),
+                                 jnp.full((nwin,), -1.0, jnp.float32)]),
+                jnp.concatenate([minf, jnp.full((nwin,), jnp.inf)]),
+                jnp.concatenate([maxf, jnp.full((nwin,), -jnp.inf)]),
+                jnp.concatenate([minl, jnp.full((nwin,), jnp.inf)]),
+                jnp.concatenate([maxl, jnp.full((nwin,), -jnp.inf)]),
+            ])                                             # (6, n_wins+pad)
+            sl = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(
+                    stacked, (0, s), (6, nwin)
                 )
-                sl = jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(arr, (s,), (nwin,))
-                )(wstart)                                  # (n_ch, nwin)
-                return sl.reshape(n_chunks, g_dim)
-
-            chf_cg = per_channel(chf, -1)
-            chl_cg = per_channel(chl, -1)
-            minf_cg = per_channel(minf, jnp.inf)
-            maxf_cg = per_channel(maxf, -jnp.inf)
-            minl_cg = per_channel(minl, jnp.inf)
-            maxl_cg = per_channel(maxl, -jnp.inf)
+            )(wstart)                                      # (n_ch, 6, nwin)
+            cg = sl.transpose(1, 0, 2).reshape(6, n_chunks, g_dim)
+            chf_cg = cg[0].astype(jnp.int32)
+            chl_cg = cg[1].astype(jnp.int32)
+            minf_cg, maxf_cg, minl_cg, maxl_cg = cg[2], cg[3], cg[4], cg[5]
             ch_c = ch_of_chunk[:, None]
             sel_f = chf_cg == ch_c
             sel_l = chl_cg == ch_c
@@ -800,8 +807,11 @@ def snowfall_augment_dense(
             # one head-anchored band per group, clamped into the chunk
             # slice so the in-VMEM views stay in bounds (128-aligned)
             lo_a = (jnp.clip(lo_raw, 0, k_ext - band_r) // 128) * 128
+            # floor the upper clamp to a 128-multiple so lo_a stays
+            # 128-aligned for NON-128-multiple bands too (the kernel's
+            # in-VMEM views assert 128-aligned starts)
             lo_a = jnp.clip(lo_a, lo_c[:, None],
-                            lo_c[:, None] + (w_pallas - band_r))
+                            lo_c[:, None] + ((w_pallas - band_r) // 128) * 128)
             # ROUTE: a group fits iff its conservative LUT window provably
             # lies inside its band (or the band holds a full wrap period);
             # a chunk goes fast only if every live group fits and its own
@@ -1208,12 +1218,18 @@ def snowfall_augment_dense(
         ],
         axis=-1,
     )
-    new_int = intensity.at[tgt].set(ni, mode="drop", unique_indices=True)
-    label = jnp.zeros(n, points.dtype).at[tgt].set(
-        lab, mode="drop", unique_indices=True
+    # intensity+label ride ONE i32 scatter: the output intensity is
+    # jnp.round()ed either way (simulation.py:516), so round(i) * 4 + label
+    # is lossless (labels are {0,1,2}; two's-complement >>2 floors exactly
+    # for negative rounded intensities too) and saves an n-sized scatter.
+    packed0 = jnp.round(intensity).astype(jnp.int32) * 4
+    packed = packed0.at[tgt].set(
+        jnp.round(ni).astype(jnp.int32) * 4 + lab.astype(jnp.int32),
+        mode="drop", unique_indices=True,
     )
+    new_int = (packed >> 2).astype(points.dtype)
+    label = (packed & 3).astype(points.dtype)
 
-    new_int = jnp.round(new_int)
     keep = mask & ((label == 2) | (new_int > noise_at))
     num_removed = jnp.sum(mask & ~keep).astype(jnp.int32)
     num_attenuated = jnp.sum(keep & (label == 1)).astype(jnp.int32)

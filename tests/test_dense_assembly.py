@@ -101,6 +101,9 @@ def test_dense_channel_overflow_detected(setup):
     "band,transposed,route", [
         (0, False, 0), (256, False, 0), (0, True, 0), (0, False, 256),
         (0, False, 128),
+        # non-128-multiple band: the band anchors' upper clamp must floor
+        # to a 128-multiple so the in-VMEM views stay aligned
+        (0, False, 96),
     ]
 )
 def test_pallas_phase_matches_window(setup, band, transposed, route):
