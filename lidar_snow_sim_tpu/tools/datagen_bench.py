@@ -188,6 +188,95 @@ def main(argv=None):
         "scene_setup_s": round(t_scene, 1),
         "bank_setup_s": round(t_banks, 1),
     }
+    # --- device-resident step slope (VERDICT r3 item 6): the SAME packed
+    # step (identical config to the run above) slope-timed over a lax.scan
+    # chain on DEVICE-RESIDENT batches — zero host<->device transfers in
+    # the timed region. steady_scans_per_sec vs this number MEASURES the
+    # transfer+host overhead of the full loop on this session's link; the
+    # local-PCIe claim then cites (transfer_bytes / 8 GB/s) against the
+    # measured device step instead of being asserted.
+    import functools
+    import zlib
+
+    import jax.numpy as jnp
+
+    from lidar_snow_sim_tpu.config import SnowfallConfig
+    from lidar_snow_sim_tpu.models.snowfall import calib_device_arrays
+    from lidar_snow_sim_tpu.parallel.batched import datagen_packed_step
+    from lidar_snow_sim_tpu.sampling.banks import build_bank
+
+    max_points = 1 << 16  # precompute.py default
+    pch = max(max_points // 64, 256)
+    cfg = SnowfallConfig(
+        max_points=max_points, window_size=256, wide_capacity=128,
+        max_occluders=32, max_bumps=32, point_chunk=2048, assembly="dense",
+        channel_capacity=pch, block_points=max(min(128, pch // 8), 32),
+        slice_width=1536,
+    )  # mirrors tools/precompute.py:109-118
+    sets = [
+        np.load(bank_dir / f"{prefix}_{line}.npy") for line in range(1, 65)
+    ]
+    bank_dev = jax.device_put(build_bank(
+        sets, window_size=cfg.window_size,
+        wide_threshold=cfg.wide_threshold, wide_capacity=cfg.wide_capacity,
+    ))
+    ca = calib_device_arrays(calib)
+    b = args.batch
+    pts_h = np.zeros((b, max_points, 4), np.float32)
+    chan_h = np.zeros((b, max_points), np.uint8)
+    meta_h = np.zeros((b, 3 + 64), np.int32)
+    for j in range(b):
+        pc = np.fromfile(
+            lidar_dir / f"2020-01-01_{j:05d}.bin", np.float32
+        ).reshape(-1, 5)
+        pts_h[j, : len(pc)] = pc[:, :4]
+        chan_h[j, : len(pc)] = pc[:, 4].astype(np.uint8)
+        r = np.random.default_rng(
+            [0, zlib.crc32(f"2020-01-01_{j:05d}".encode())]
+        )
+        meta_h[j, 0] = len(pc)
+        meta_h[j, 2] = int(r.integers(2**31))
+        meta_h[j, 3:] = r.permutation(64)
+    out_cap = min(-(-int(0.8 * max_points) // 2048) * 2048, max_points)
+    step_fn = functools.partial(
+        datagen_packed_step, snow_cfg=cfg,
+        wet_cfg=None, out_points=out_cap,
+    )
+    pts_d = jax.device_put(jnp.asarray(pts_h))
+    chan_d = jax.device_put(jnp.asarray(chan_h))
+    meta_d = jax.device_put(jnp.asarray(meta_h))
+
+    def chain(pts, chan, meta, bank_, ca_, n):
+        def body(p, _):
+            rows, ometa = step_fn(p, chan, meta, bank_, ca_)
+            nxt = p + rows[:, 0, 0].sum() * 0.0  # value-preserving dep
+            return nxt, ometa[:, 1]
+        _, atts = jax.lax.scan(body, pts, None, length=n)
+        return atts
+
+    chain_j = jax.jit(chain, static_argnames=("n",))
+    short, long_ = 2, 8
+    for n in (short, long_):  # compile both shapes
+        np.asarray(chain_j(pts_d, chan_d, meta_d, bank_dev, ca, n))
+    t0 = time.time()
+    np.asarray(chain_j(pts_d, chan_d, meta_d, bank_dev, ca, short))
+    t_s = time.time() - t0
+    t0 = time.time()
+    np.asarray(chain_j(pts_d, chan_d, meta_d, bank_dev, ca, long_))
+    t_l = time.time() - t0
+    step_s = (t_l - t_s) / (long_ - short)
+    dev_rate = b / step_s
+    steady = report["steady_scans_per_sec"] or 0.0
+    pcie_s_per_frame = (up_bytes + down_bytes) / 8e9  # PCIe gen3 x16 floor
+    report["device_resident_scans_per_sec"] = round(dev_rate, 2)
+    report["device_step_ms_per_frame"] = round(1e3 * step_s / b, 2)
+    report["measured_loop_overhead_pct"] = (
+        round(100 * (1 - steady / dev_rate), 1) if steady else None
+    )
+    report["pcie8gbps_overhead_pct_of_device_step"] = round(
+        100 * pcie_s_per_frame / (step_s / b), 2
+    )
+
     # resume pass: all frames skip -> measures the pure IO/walk floor
     t0 = time.time()
     precompute_main(argv_cli)
