@@ -27,6 +27,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--chain", type=int, default=0,
+                    help="trace a lax.scan chain of this many steps "
+                         "(bench.py's slope shape) instead of raw "
+                         "re-dispatches")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--dump-hlo", default=None)
     args = ap.parse_args(argv)
@@ -59,8 +63,8 @@ def main(argv=None):
         assembly="dense", use_pallas=True, channel_capacity=1024,
         block_points=128, slice_width=1152, chunk_group=8,
         band_width=int(os.environ.get("BENCH_BAND", "0")),
-        band_group=int(os.environ.get("BENCH_BGROUP", "8")),
-        route_band=int(os.environ.get("BENCH_ROUTE", "0")),
+        band_group=int(os.environ.get("BENCH_BGROUP", "16")),
+        route_band=int(os.environ.get("BENCH_ROUTE", "384")),
     )
     bank = jax.device_put(build_bank(
         sets, window_size=cfg.window_size,
@@ -78,10 +82,30 @@ def main(argv=None):
         jnp.int32,
     )
     keys = jax.random.split(jax.random.PRNGKey(0), b)
-    vstep = jax.jit(jax.vmap(
+    vstep_raw = jax.vmap(
         lambda p, m, o, k, bk, c: snowfall_augment(p, m, bk, c, o, k, cfg),
         in_axes=(0, 0, 0, 0, None, None),
-    ))
+    )
+    if args.chain:
+        # bench.py's slope-chain shape: scan `chain` steps through a
+        # value-preserving dependency, so the traced per-op times are the
+        # ones the headline slope actually pays (raw re-dispatches can
+        # schedule differently)
+        n_chain = args.chain
+
+        def chained(p, m, o, k, bk, c):
+            def body(pts, _):
+                out = vstep_raw(pts, m, o, k, bk, c)
+                nxt = pts + out.avg_intensity_diff.sum() * 0.0
+                return nxt, out.num_attenuated
+            _, nas = jax.lax.scan(body, p, None, length=n_chain)
+            return nas
+
+        vstep = jax.jit(chained)
+        div = n_chain
+    else:
+        vstep = jax.jit(vstep_raw)
+        div = 1
 
     if args.dump_hlo:
         txt = vstep.lower(
@@ -116,7 +140,7 @@ def main(argv=None):
         if e.get("ph") == "X" and "dur" in e and e.get("pid") in dev_pids:
             tot[e["name"]] += e["dur"]
             cnt[e["name"]] += 1
-    it = args.iters
+    it = args.iters * div
     print(f"device ops (per step, {it} steps traced; trace: {trace_dir}):")
     for name, d in tot.most_common(args.top):
         print(f"{d / it / 1e3:9.2f} ms x{cnt[name] // it:<5d} {name[:70]}")
