@@ -101,6 +101,15 @@ def main(out_path: str = "PARITY_TPU.json") -> int:
             cfg, assembly="dense", channel_capacity=128, block_points=32,
             slice_width=384, chunk_group=8, use_pallas=True,
         ),
+        # the round-4 bench default: span-routed kernel. route_band=128
+        # (vs slice 384) forces a MIX of fast-banded and full-slice chunks
+        # so both gated bodies run on the real chip (Mosaic lowering can
+        # differ from the CPU interpret-mode test)
+        "dense_pallas_routed": dataclasses.replace(
+            cfg, assembly="dense", channel_capacity=128, block_points=32,
+            slice_width=384, chunk_group=8, use_pallas=True,
+            route_band=128, band_group=8,
+        ),
     }
     for name, vcfg in variants.items():
         res = jax.device_get(
