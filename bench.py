@@ -234,22 +234,43 @@ def main():
 
             def one(p, m, o, k, b, ca):
                 snow, wet = snow_wet_step(p, m, b, ca, o, k, cfg, wet_cfg)
-                return snow
+                # the wet result must feed the chain dependency or XLA
+                # dead-code-eliminates the whole wet pipeline (see below)
+                return snow, wet.planes.sum() + wet.num_modified.astype(
+                    jnp.float32
+                )
         else:
             def one(p, m, o, k, b, ca):
-                return snowfall_augment(p, m, b, ca, o, k, cfg)
+                return snowfall_augment(p, m, b, ca, o, k, cfg), jnp.float32(0)
 
         vstep = jax.vmap(one, in_axes=(0, 0, 0, 0, None, None))
 
         def chain(points, mask, orders, keys_stacked, b, ca):
-            def body(pts, keys_i):
-                out = vstep(pts, mask, orders, keys_i, b, ca)
-                nxt = points + out.avg_intensity_diff.sum() * 0.0
+            # Chain methodology (round-4 revision, both honesty fixes):
+            # 1. The step dependency covers the FULL output (planes.sum(),
+            #    one ~0.04 ms fused reduce) — a stats-only dependency let
+            #    XLA dead-code-eliminate the xyz write-back scatters and,
+            #    in WET mode, the ENTIRE wet pipeline (discovered via a
+            #    1-scatter HLO dump).
+            # 2. The carry is a SCALAR folded into the step keys — carrying
+            #    the (B, N, 5) cloud itself paid a padded-layout copy every
+            #    step (minor dim 5 tiles to 128 lanes = 25.6x) that no real
+            #    consumer pays; inputs stay loop-invariant like a real
+            #    pipelined workload's device-resident batch.
+            def body(eps, keys_i):
+                keys_j = jax.vmap(
+                    lambda k: jax.random.fold_in(k, eps)
+                )(keys_i)
+                out, wet_dep = vstep(points, mask, orders, keys_j, b, ca)
+                dep = out.planes.sum() + wet_dep.sum()
+                nxt = eps + (dep * 0.0).astype(jnp.int32)
                 return nxt, (out.num_attenuated,
                              out.window_overflow + out.occluder_overflow
                              + out.bump_overflow + out.channel_overflow
                              + out.compact_overflow)
-            _, (nas, ovf) = jax.lax.scan(body, points, keys_stacked)
+            _, (nas, ovf) = jax.lax.scan(
+                body, jnp.int32(0), keys_stacked
+            )
             return nas, ovf
 
         chain_j = jax.jit(chain)
@@ -326,11 +347,18 @@ def main():
         msk0 = jnp.asarray(padded.mask)
 
         def slope(step, carry0):
+            # scalar carry folded into the per-step keys (a cloud carry
+            # pays a padded-layout copy per step); each step returns a
+            # scalar that depends on its FULL output (points + counters),
+            # or XLA dead-code-eliminates the output assembly (round-4 fix)
             def chain(c0, ks):
-                def body(c, k):
-                    out = step(c, k)
-                    return c + out * 0.0, out
-                _, outs = jax.lax.scan(body, c0, ks)
+                def body(eps, k):
+                    kj = jax.vmap(
+                        lambda kk: jax.random.fold_in(kk, eps)
+                    )(k)
+                    out = step(c0, kj)
+                    return eps + (out * 0.0).astype(jnp.int32), out
+                _, outs = jax.lax.scan(body, jnp.int32(0), ks)
                 return outs
 
             chain_j = jax.jit(chain)
@@ -383,7 +411,8 @@ def main():
                     p, msk0, kk, l_alpha, l_dens, *grids
                 )
             )(c, k)
-            return jnp.sum(res.num_scattered).astype(jnp.float32)
+            return (jnp.sum(res.num_scattered).astype(jnp.float32)
+                    + res.points.sum() * jnp.float32(1e-30))
 
         out["lisa_rain10mmh"] = slope(lisa_step, lisa_carry)
 
@@ -393,7 +422,8 @@ def main():
 
         def fog_step(c, k):
             res = jax.vmap(lambda p, kk: fog_augment(fp, p, msk0, kk))(c, k)
-            return jnp.sum(res.num_scattered).astype(jnp.float32)
+            return (jnp.sum(res.num_scattered).astype(jnp.float32)
+                    + res.points.sum() * jnp.float32(1e-30))
 
         out["fog_alpha0.06"] = slope(fog_step, carry_b)
 
@@ -408,16 +438,21 @@ def main():
             res = jax.vmap(
                 lambda p, kk: haze_point_cloud_padded(p, msk0, coeffs, kk)
             )(c, k)
-            return jnp.sum(res.num_scattered).astype(jnp.float32)
+            return (jnp.sum(res.num_scattered).astype(jnp.float32)
+                    + res.points.sum() * jnp.float32(1e-30))
 
         out["stf_fog_beta0.046"] = slope(stf_step, carry_b)
 
         from lidar_snow_sim_tpu.models.dror import _dror_kernel
 
         def dror_step(c, k):
+            # DROR consumes no PRNG key: thread the key data in as an
+            # exact +0.0 so the loop body is NOT invariant (XLA's while-
+            # loop LICM would otherwise hoist the whole kernel)
+            eps0 = k[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
             keep = jax.vmap(
                 lambda p: _dror_kernel(
-                    p[:, :3], msk0, jnp.float32(_m.radians(0.45)),
+                    p[:, :3] + eps0, msk0, jnp.float32(_m.radians(0.45)),
                     jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04), 1024,
                 )
             )(c)
@@ -467,12 +502,26 @@ def main():
         vdet = jax.vmap(one, in_axes=(0, 0, None, None))
 
         def chain(pts, msk, prm, anc, n):
-            def body(c, _):
-                out = vdet(c, msk, prm, anc)
-                nxt = pts + jnp.sum(out.scores) * 0.0
+            # scalar carry threaded through the FIRST layer's weights (an
+            # exact +0.0, so outputs are unchanged): a cloud carry paid a
+            # padded (B, N, 4) copy per step, and everything downstream of
+            # the PFN now depends on the carry so XLA's while-loop LICM
+            # cannot hoist the network. The dependency covers boxes and
+            # labels too, not just scores (DCE honesty, round 4).
+            w0_name = "vfe.pfn_layers.0.linear.weight"
+
+            def body(eps, _):
+                prm2 = dict(prm)
+                prm2[w0_name] = prm[w0_name] + eps.astype(
+                    prm[w0_name].dtype
+                ) * 0
+                out = vdet(pts, msk, prm2, anc)
+                dep = (jnp.sum(out.scores) + jnp.sum(out.boxes)
+                       + jnp.sum(out.labels).astype(jnp.float32))
+                nxt = eps + (dep * 0.0).astype(jnp.int32)
                 return nxt, (out.count, out.nms_pre_overflow)
             _, (cnt, ovf) = jax.lax.scan(
-                body, pts, None, length=n
+                body, jnp.int32(0), None, length=n
             )
             return cnt, ovf
 

@@ -70,7 +70,13 @@ def default_compact_capacity(cfg, num_lasers: int, pallas: bool = True) -> int:
 
 
 class SnowfallResult(NamedTuple):
-    points: jax.Array          # (N, 5) augmented x, y, z, intensity, label
+    # (5, N) PLANE-MAJOR augmented output: rows x, y, z, intensity, label.
+    # Plane-major is the TPU-correct layout: a trailing 5-wide minor axis
+    # pads 25.6x under (8, 128) HBM tiling (round-2 lesson), so a (N, 5)
+    # device output would cost ~0.3 GB/step of padded traffic at bench
+    # shapes. Host wrappers transpose back to the reference's (n, 5) rows
+    # (simulation.py:589-599 returns row-major pc) at the fetch boundary.
+    planes: jax.Array
     keep: jax.Array            # (N,) bool: survives noise floor / scattering
     num_attenuated: jax.Array  # i32
     num_removed: jax.Array     # i32
@@ -392,11 +398,11 @@ def snowfall_augment(
         0,
     )
 
-    out_points = jnp.concatenate(
-        [new_xyz, new_int[:, None], label[:, None]], axis=1
+    out_planes = jnp.stack(
+        [new_xyz[:, 0], new_xyz[:, 1], new_xyz[:, 2], new_int, label]
     )
     return SnowfallResult(
-        points=out_points,
+        planes=out_planes,
         keep=keep,
         num_attenuated=num_attenuated,
         num_removed=num_removed,
@@ -1211,13 +1217,10 @@ def snowfall_augment_dense(
     # scatters with ONE i32 inverse-map scatter + a fused (5, n) column
     # gather + selects benched 34.37 vs 30.31 ms/step — the wide gather
     # pays per-cell over n (not cap) columns, which exceeds the scatters.
-    new_xyz = jnp.stack(
-        [
-            xyz[:, i].at[tgt].set(nx[:, i], mode="drop", unique_indices=True)
-            for i in range(3)
-        ],
-        axis=-1,
-    )
+    new_xyz_planes = [
+        xyz[:, i].at[tgt].set(nx[:, i], mode="drop", unique_indices=True)
+        for i in range(3)
+    ]
     # intensity+label ride ONE i32 scatter: the output intensity is
     # jnp.round()ed either way (simulation.py:516), so round(i) * 4 + label
     # is lossless (labels are {0,1,2}; two's-complement >>2 floors exactly
@@ -1241,11 +1244,9 @@ def snowfall_augment_dense(
         0,
     )
 
-    out_points = jnp.concatenate(
-        [new_xyz, new_int[:, None], label[:, None]], axis=1
-    )
+    out_planes = jnp.stack(new_xyz_planes + [new_int, label])
     return SnowfallResult(
-        points=out_points,
+        planes=out_planes,
         keep=keep,
         num_attenuated=num_attenuated,
         num_removed=num_removed,
@@ -1383,4 +1384,6 @@ class SnowfallAugmenter:
             int(res.num_removed),
             int(res.avg_intensity_diff),
         )
-        return stats, res.points[res.keep]
+        # device output is plane-major (5, N); restore the reference's
+        # (n, 5) row layout on the host (simulation.py:589-599)
+        return stats, np.ascontiguousarray(res.planes.T[res.keep])

@@ -28,7 +28,11 @@ from lidar_snow_sim_tpu.ops.laser import estimate_laser_parameters
 
 
 class WetGroundResult(NamedTuple):
-    points: jax.Array      # (N, 5) with modified ground intensities + labels
+    # (5, N) PLANE-MAJOR output: rows x, y, z, intensity, label. Plane-major
+    # avoids the 25.6x HBM lane padding a trailing 5-wide axis pays under
+    # TPU (8, 128) tiling; host wrappers transpose back to the reference's
+    # (n, 5) rows (augmentation.py:155-161).
+    planes: jax.Array
     keep: jax.Array        # (N,) bool (non-ground & padding-invalid => mask)
     is_ground: jax.Array   # (N,) bool
     bailed_out: jax.Array  # scalar bool: <1000 ground points, input unchanged
@@ -37,15 +41,19 @@ class WetGroundResult(NamedTuple):
 
 
 def wet_ground_augment(
-    points,
+    planes,
     mask,
     key,
     cfg: WetGroundConfig,
     plane=None,
 ):
-    """Jittable wet-ground augmentation on a padded (N, 5) scan."""
-    xyz = points[:, :3]
-    intensity = points[:, 3]
+    """Jittable wet-ground augmentation on a padded (5, N) plane-major scan
+    (rows x, y, z, intensity, label — SnowfallResult.planes layout). The
+    (N, 3) views below are XLA-fused slices of the plane rows, not
+    materialized padded buffers; the math is unchanged vs the row-major
+    version (bit-identical outputs)."""
+    xyz = planes[:3].T
+    intensity = planes[3]
 
     if plane is None:
         w, h = ransac_plane(xyz, mask, key, trials=cfg.ransac_trials)
@@ -96,22 +104,23 @@ def wet_ground_augment(
 
     out_intensity = jnp.where(ground & ~bail, new_int, intensity)
     # replace=True zeroes every label before marking ground (augmentation.py:155-159)
-    non_ground_label = 0.0 if cfg.replace else points[:, 4]
+    non_ground_label = 0.0 if cfg.replace else planes[4]
     label = jnp.where(ground & ~bail, 1.0, non_ground_label)
 
     keep = jnp.where(bail, mask, mask & (~ground | ground_keep))
-    out = jnp.concatenate(
+    out = jnp.stack(
         [
-            xyz,
-            jnp.where(bail, intensity, out_intensity)[:, None],
-            jnp.where(bail, points[:, 4], label)[:, None],
-        ],
-        axis=1,
+            planes[0],
+            planes[1],
+            planes[2],
+            jnp.where(bail, intensity, out_intensity),
+            jnp.where(bail, planes[4], label),
+        ]
     )
     num_modified = jnp.sum(ground & ground_keep & ~bail).astype(jnp.int32)
     num_removed = jnp.sum(ground & ~ground_keep & ~bail).astype(jnp.int32)
     return WetGroundResult(
-        points=out,
+        planes=out,
         keep=keep,
         is_ground=ground & ~bail,
         bailed_out=bail,
@@ -148,7 +157,7 @@ class WetGroundAugmenter:
         padded = pad_cloud(np.asarray(pc), self.max_points)
         res = jax.device_get(
             self._fn(
-                jnp.asarray(padded.points),
+                jnp.asarray(np.ascontiguousarray(padded.points.T)),
                 jnp.asarray(padded.mask),
                 jax.random.PRNGKey(self.seed),
                 self.cfg,
@@ -158,7 +167,8 @@ class WetGroundAugmenter:
             )
         )
         n = len(pc)
-        pts, keep, is_g = res.points[:n], res.keep[:n], res.is_ground[:n]
+        pts = res.planes.T[:n]
+        keep, is_g = res.keep[:n], res.is_ground[:n]
         if bool(res.bailed_out):
             return np.asarray(pc)
         non_ground = pts[~is_g & keep]

@@ -39,7 +39,7 @@ def snow_wet_step(
     )
     if wet_cfg is None:
         return snow, None
-    wet = wet_ground_augment(snow.points, snow.keep, k_wet, wet_cfg)
+    wet = wet_ground_augment(snow.planes, snow.keep, k_wet, wet_cfg)
     return snow, wet
 
 
@@ -97,7 +97,9 @@ def datagen_packed_step(
       Wet-ground intensities are floats (augmentation.py:126-147), so with
       a `wet_cfg` the output stays 5-wide.
 
-    Returns (points_c (B, P, 4|5) f32, out_meta (B, 13) i32):
+    Returns (planes_c (B, 4|5, P) f32 PLANE-MAJOR — rows x, y, z, then
+    the packed intensity|label plane (4-wide) or separate intensity and
+    label planes (5-wide, wet runs) — and out_meta (B, 13) i32):
     out_meta = [n_keep, num_attenuated, num_removed, avg_intensity_diff,
     window/occluder/bump/channel/compact overflow, out_overflow
     (max(n_keep - P, 0)), wet_modified, wet_removed, wet_bailed]
@@ -121,16 +123,16 @@ def datagen_packed_step(
         )
         res = wet if wet is not None else snow
         perm = jnp.argsort(~res.keep, stable=True)[:p_out]
-        points_c = res.points[perm]
+        planes_c = res.planes[:, perm]          # (5, P) plane-major gather
         n_keep = jnp.sum(res.keep.astype(jnp.int32))
         if wet_cfg is None:
             packed = jax.lax.bitcast_convert_type(
-                (jnp.round(points_c[:, 3]).astype(jnp.int32) << 2)
-                | points_c[:, 4].astype(jnp.int32),
+                (jnp.round(planes_c[3]).astype(jnp.int32) << 2)
+                | planes_c[4].astype(jnp.int32),
                 jnp.float32,
             )
-            points_c = jnp.concatenate(
-                [points_c[:, :3], packed[:, None]], axis=1
+            planes_c = jnp.concatenate(
+                [planes_c[:3], packed[None]], axis=0
             )
         out_meta = jnp.stack(
             [
@@ -150,7 +152,7 @@ def datagen_packed_step(
                  if wet is not None else jnp.int32(0)),
             ]
         )
-        return points_c, out_meta
+        return planes_c, out_meta
 
     return jax.vmap(one)(points, chan, in_meta)
 

@@ -283,14 +283,15 @@ def run_snowfall_datagen(
             meta[j, 3:] = order
         return (pts, chan, meta), ids
 
-    def unpack_rows(rows):
-        """Invert the device-side (intensity << 2 | label) i32 bitcast pack
+    def unpack_rows(planes):
+        """Transpose the device's (4|5, n) plane-major columns to (n, 5)
+        rows and invert the (intensity << 2 | label) i32 bitcast pack
         (snowfall-only runs; wet intensities are floats and travel as-is)."""
         if wet_cfg is not None:
-            return rows
-        pk = np.ascontiguousarray(rows[:, 3]).view(np.int32)
-        out = np.empty((len(rows), 5), np.float32)
-        out[:, :3] = rows[:, :3]
+            return np.ascontiguousarray(planes.T)
+        pk = np.ascontiguousarray(planes[3]).view(np.int32)
+        out = np.empty((planes.shape[1], 5), np.float32)
+        out[:, :3] = planes[:3].T
         out[:, 3] = (pk >> 2).astype(np.float32)
         out[:, 4] = (pk & 3).astype(np.float32)
         return out
@@ -364,7 +365,7 @@ def run_snowfall_datagen(
         else:
             raise RuntimeError("datagen capacity overflows persisted")
         for j, (sid, out_path, n_in) in enumerate(ids):
-            aug = unpack_rows(points_c[j, : out_meta[j, 0]])
+            aug = unpack_rows(points_c[j, :, : out_meta[j, 0]])
             aug.astype(np.float32).tofile(out_path)
             stats.frames_done += 1
             stats.points_in += n_in

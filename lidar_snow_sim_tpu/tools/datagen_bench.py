@@ -247,11 +247,15 @@ def main(argv=None):
     meta_d = jax.device_put(jnp.asarray(meta_h))
 
     def chain(pts, chan, meta, bank_, ca_, n):
-        def body(p, _):
-            rows, ometa = step_fn(p, chan, meta, bank_, ca_)
-            nxt = p + rows[:, 0, 0].sum() * 0.0  # value-preserving dep
+        # scalar carry perturbing the seed column + full-output dependency
+        # (rows.sum()): a cloud carry pays a padded copy no real consumer
+        # pays, and a partial dependency lets XLA DCE output work
+        def body(eps, _):
+            m = meta.at[:, 2].add(eps)
+            rows, ometa = step_fn(pts, chan, m, bank_, ca_)
+            nxt = eps + (rows.sum() * 0.0).astype(jnp.int32)
             return nxt, ometa[:, 1]
-        _, atts = jax.lax.scan(body, pts, None, length=n)
+        _, atts = jax.lax.scan(body, jnp.int32(0), None, length=n)
         return atts
 
     chain_j = jax.jit(chain, static_argnames=("n",))

@@ -133,7 +133,8 @@ def main(out_path: str = "PARITY_TPU.json") -> int:
             compact=int(res.compact_overflow),
         )
         cls = classify_parity(
-            pc, res.points[:n], sets, calib, order, beam_div_deg
+            pc, np.asarray(res.planes).T[:n], sets, calib, order,
+            beam_div_deg,
         )
         report["assemblies"][name] = dict(
             overflows=overflows,

@@ -94,11 +94,17 @@ def main(argv=None):
         n_chain = args.chain
 
         def chained(p, m, o, k, bk, c):
-            def body(pts, _):
-                out = vstep_raw(pts, m, o, k, bk, c)
-                nxt = pts + out.avg_intensity_diff.sum() * 0.0
+            # scalar carry folded into the keys + full-output dependency:
+            # bench.py's round-4 chain shape (a stats-only dependency DCEs
+            # the write-back scatters; a cloud carry pays a padded copy)
+            def body(eps, _):
+                kj = jax.vmap(lambda kk: jax.random.fold_in(kk, eps))(k)
+                out = vstep_raw(p, m, o, kj, bk, c)
+                nxt = eps + (out.planes.sum() * 0.0).astype(jnp.int32)
                 return nxt, out.num_attenuated
-            _, nas = jax.lax.scan(body, p, None, length=n_chain)
+            _, nas = jax.lax.scan(
+                body, jnp.int32(0), None, length=n_chain
+            )
             return nas
 
         vstep = jax.jit(chained)

@@ -79,7 +79,7 @@ def test_dense_matches_window(setup):
         assert r.channel_overflow == 0
         assert r.compact_overflow == 0
     n = len(setup[1])
-    np.testing.assert_array_equal(rw.points[:n], rd.points[:n])
+    np.testing.assert_array_equal(rw.planes[:, :n], rd.planes[:, :n])
     np.testing.assert_array_equal(rw.keep[:n], rd.keep[:n])
     assert int(rw.num_attenuated) == int(rd.num_attenuated)
     assert int(rw.num_removed) == int(rd.num_removed)
@@ -129,7 +129,7 @@ def test_pallas_phase_matches_window(setup, band, transposed, route):
     assert int(rp.window_overflow) == 0
     assert int(rp.compact_overflow) == 0
     n = len(setup[1])
-    np.testing.assert_array_equal(rw.points[:n], rp.points[:n])
+    np.testing.assert_array_equal(rw.planes[:, :n], rp.planes[:, :n])
     np.testing.assert_array_equal(rw.keep[:n], rp.keep[:n])
     assert int(rw.num_attenuated) == int(rp.num_attenuated)
 
@@ -154,7 +154,7 @@ def test_pallas_pair_matches_window(setup):
     assert int(rp.window_overflow) == 0
     assert int(rp.compact_overflow) == 0
     n = len(setup[1])
-    np.testing.assert_array_equal(rw.points[:n], rp.points[:n])
+    np.testing.assert_array_equal(rw.planes[:, :n], rp.planes[:, :n])
     np.testing.assert_array_equal(rw.keep[:n], rp.keep[:n])
     assert int(rw.num_attenuated) == int(rp.num_attenuated)
 
@@ -179,7 +179,7 @@ def test_pulse_pair_matches_window(setup):
     assert int(rp.window_overflow) == 0
     assert int(rp.compact_overflow) == 0
     n = len(setup[1])
-    np.testing.assert_array_equal(rw.points[:n], rp.points[:n])
+    np.testing.assert_array_equal(rw.planes[:, :n], rp.planes[:, :n])
     np.testing.assert_array_equal(rw.keep[:n], rp.keep[:n])
     assert int(rw.num_attenuated) == int(rp.num_attenuated)
 
@@ -209,7 +209,7 @@ def test_dense_full_360_scan(setup):
     assert int(rd.window_overflow) == 0
     assert int(rd.channel_overflow) == 0
     n = len(pc)
-    np.testing.assert_array_equal(rw.points[:n], rd.points[:n])
+    np.testing.assert_array_equal(rw.planes[:, :n], rd.planes[:, :n])
     np.testing.assert_array_equal(rw.keep[:n], rd.keep[:n])
 
 
@@ -254,7 +254,7 @@ def test_dense_seam_dedup_small_bank(setup):
     for r in (rd, rp):
         assert int(r.occluder_overflow) == 0
         assert int(r.window_overflow) == 0
-        np.testing.assert_array_equal(rw.points[:n], r.points[:n])
+        np.testing.assert_array_equal(rw.planes[:, :n], r.planes[:, :n])
         np.testing.assert_array_equal(rw.keep[:n], r.keep[:n])
 
 
@@ -321,4 +321,4 @@ def test_batch_fold_matches_per_frame(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # and against the unbatched single-frame path
     r0 = _run(setup, dataclasses.replace(base, batch_fold=True))
-    np.testing.assert_array_equal(np.asarray(rf.points[0]), r0.points)
+    np.testing.assert_array_equal(np.asarray(rf.planes[0]), r0.planes)

@@ -94,7 +94,7 @@ def test_full_pipeline_parity(setup):
     assert res.bump_overflow == 0
 
     n = len(pc)
-    got = res.points[:n]
+    got = np.asarray(res.planes).T[:n]
     keep = res.keep[:n]
 
     # --- per-point parity BEFORE the keep filter ---------------------------
@@ -220,7 +220,7 @@ def test_no_particles_is_identity(setup):
     res = jax.device_get(res)
     n = len(pc)
     assert res.num_attenuated == 0
-    np.testing.assert_array_equal(res.points[:n, 4], 0.0)
+    np.testing.assert_array_equal(res.planes[4, :n], 0.0)
     # untouched points keep their coordinates and intensities
-    np.testing.assert_allclose(res.points[:n, :3], pc[:, :3], rtol=1e-6)
-    np.testing.assert_allclose(res.points[:n, 3], pc[:, 3], atol=0.5)
+    np.testing.assert_allclose(np.asarray(res.planes)[:3, :n].T, pc[:, :3], rtol=1e-6)
+    np.testing.assert_allclose(res.planes[3, :n], pc[:, 3], atol=0.5)

@@ -131,7 +131,7 @@ def test_wet_ground_labels_and_monotonicity(scan):
     padded = pad_cloud(pc, cap)
     res = jax.device_get(
         jax.jit(wet_ground_augment, static_argnames=("cfg",))(
-            jnp.asarray(padded.points),
+            jnp.asarray(np.ascontiguousarray(padded.points.T)),
             jnp.asarray(padded.mask),
             jax.random.PRNGKey(0),
             WetGroundConfig(),
@@ -143,6 +143,7 @@ def test_wet_ground_labels_and_monotonicity(scan):
     assert not bool(res.bailed_out)
     assert is_g.sum() >= 1000
     kept_ground = is_g & res.keep[:n]
-    assert np.all(res.points[:n][kept_ground, 4] == 1.0)
-    assert np.all(res.points[:n][kept_ground, 3] <= pc[kept_ground, 3] + 1e-4)
+    assert np.all(np.asarray(res.planes)[4, :n][kept_ground] == 1.0)
+    assert np.all(np.asarray(res.planes)[3, :n][kept_ground]
+                  <= pc[kept_ground, 3] + 1e-4)
     assert int(res.num_modified) == int(kept_ground.sum())
