@@ -27,6 +27,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # measured knee (BASELINE.md)
 ORACLE_POINTS = int(os.environ.get("BENCH_ORACLE_POINTS", "400"))
 # BENCH_SWEEP="4,8,16,32,64,128": measure every batch size, report the curve
 # on stderr, and emit the best batch's throughput as the headline metric.
+# NOTE: batch >= 64 reliably crashes the remote tunnel's TPU worker at bench
+# shapes (BASELINE.md round-3 ledger); the sweep loop stops at the first
+# crashed batch and keeps the completed rows.
 SWEEP = [int(b) for b in os.environ["BENCH_SWEEP"].split(",")] if (
     os.environ.get("BENCH_SWEEP")
 ) else None
@@ -88,11 +91,25 @@ def _roofline_model(cfg, n_ch=64):
     m_bins = 1230
 
     # --- phase A (occluder selection) ---
-    a_read = n_chunks * n_prop * cand * 4        # bank slice + wide DMA
-    a_read += n_chunks * blk * n_feat * 4        # point features
+    # routing/liveness factors: ~20% of chunks are dead spill windows
+    # (skipped entirely — no DMA, no compute; round-3 device trace) and,
+    # with span routing on, ~98% of live chunks take the single-band fast
+    # body whose per-point candidate set is route_band + wide instead of
+    # the full slice + wide (round-4 device trace). The model counts the
+    # work the kernel EXECUTES under those measured fractions — without
+    # them it overstates phase-A flops ~3x and the speed-of-light readout
+    # is meaningless.
+    live = float(os.environ.get("BENCH_MODEL_LIVE", "0.80"))
+    fast = float(os.environ.get("BENCH_MODEL_FAST", "0.98")) if (
+        getattr(cfg, "route_band", 0)
+    ) else 0.0
+    cand_fast = cfg.route_band + wc_pad
+    cand_eff = fast * cand_fast + (1.0 - fast) * cand
+    a_read = live * n_chunks * n_prop * cand * 4  # bank slice + wide DMA
+    a_read += live * n_chunks * blk * n_feat * 4  # point features
     a_write = (4 * k_occ + 1) * n2 * 4           # a1/a2/dist/valid + ovf
-    a_flops = n_chunks * blk * cand * 45         # intersection + intervals
-    a_flops += n_chunks * 8 * blk * cand * 6     # ~8 masked-argmin top-k trips
+    a_flops = live * n_chunks * blk * cand_eff * 45   # intersect + intervals
+    a_flops += live * n_chunks * 8 * blk * cand_eff * 6  # ~8 top-k trips
 
     # --- phase C (sweep + pulse) ---
     c_read = cap * (4 + k_occ * 5 + (k_occ + 1) * 2) * 4   # feats+occ5+trig
@@ -443,22 +460,33 @@ def main():
 
         out["stf_fog_beta0.046"] = slope(stf_step, carry_b)
 
-        from lidar_snow_sim_tpu.models.dror import _dror_kernel
+        from lidar_snow_sim_tpu.models.dror import _dror_kernel_windowed
 
         def dror_step(c, k):
             # DROR consumes no PRNG key: thread the key data in as an
             # exact +0.0 so the loop body is NOT invariant (XLA's while-
             # loop LICM would otherwise hoist the whole kernel)
             eps0 = k[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
-            keep = jax.vmap(
-                lambda p: _dror_kernel(
+            keep, ovf = jax.vmap(
+                lambda p: _dror_kernel_windowed(
                     p[:, :3] + eps0, msk0, jnp.float32(_m.radians(0.45)),
-                    jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04), 1024,
+                    jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04),
+                    block=128, window=2048, margin=1024,
                 )
             )(c)
-            return jnp.sum(keep).astype(jnp.float32)
+            # fold the overflow counter in so neither branch is DCE'd
+            return (jnp.sum(keep) + jnp.sum(ovf)).astype(jnp.float32)
 
         out["dror"] = slope(dror_step, carry_b)
+        # honesty check: the windowed kernel's result only stands when the
+        # counted overflow is zero on the bench scan (else the host wrapper
+        # would fall back to the full-N kernel and pay its time)
+        _, dror_ovf = _dror_kernel_windowed(
+            pts0[:, :3], msk0, jnp.float32(_m.radians(0.45)),
+            jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04),
+            block=128, window=2048, margin=1024,
+        )
+        out["dror"]["window_overflows"] = int(dror_ovf)
         return out
 
     def measure_detect(batch=DETECT_BATCH, iters=None):

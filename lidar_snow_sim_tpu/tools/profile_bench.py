@@ -33,6 +33,11 @@ def main(argv=None):
                          "re-dispatches")
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--dump-hlo", default=None)
+    ap.add_argument("--model", default="snow",
+                    choices=("snow", "lisa", "dror"),
+                    help="which bench-slope workload to trace: the snowfall "
+                         "core (default) or a weather-baseline step shaped "
+                         "exactly like bench.py's measure_weather slope")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -82,10 +87,43 @@ def main(argv=None):
         jnp.int32,
     )
     keys = jax.random.split(jax.random.PRNGKey(0), b)
-    vstep_raw = jax.vmap(
-        lambda p, m, o, k, bk, c: snowfall_augment(p, m, bk, c, o, k, cfg),
-        in_axes=(0, 0, 0, 0, None, None),
-    )
+    msk0 = jnp.asarray(padded.mask)
+    if args.model == "lisa":
+        from lidar_snow_sim_tpu.models.lisa import LISA
+
+        l = LISA()
+        grids = l._dsd_tables(10.0)
+        l_alpha = jnp.float32(l.alpha(10.0))
+        l_dens = jnp.float32(l.droplet_density(10.0))
+        points = points.at[..., 3].divide(255.0)
+
+        def vstep_raw(p, m, o, k, bk, c):
+            res = jax.vmap(
+                lambda pp, kk: l._augment_core(
+                    pp, msk0, kk, l_alpha, l_dens, *grids
+                )
+            )(p, k)
+            return res
+    elif args.model == "dror":
+        import math as _m
+
+        from lidar_snow_sim_tpu.models.dror import _dror_kernel_windowed
+
+        def vstep_raw(p, m, o, k, bk, c):
+            eps0 = k[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
+            keep, ovf = jax.vmap(
+                lambda pp: _dror_kernel_windowed(
+                    pp[:, :3] + eps0, msk0, jnp.float32(_m.radians(0.45)),
+                    jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04),
+                    block=128, window=2048, margin=1024,
+                )
+            )(p)
+            return keep.astype(jnp.float32) + ovf.astype(jnp.float32)
+    else:
+        vstep_raw = jax.vmap(
+            lambda p, m, o, k, bk, c: snowfall_augment(p, m, bk, c, o, k, cfg),
+            in_axes=(0, 0, 0, 0, None, None),
+        )
     if args.chain:
         # bench.py's slope-chain shape: scan `chain` steps through a
         # value-preserving dependency, so the traced per-op times are the
@@ -100,8 +138,14 @@ def main(argv=None):
             def body(eps, _):
                 kj = jax.vmap(lambda kk: jax.random.fold_in(kk, eps))(k)
                 out = vstep_raw(p, m, o, kj, bk, c)
-                nxt = eps + (out.planes.sum() * 0.0).astype(jnp.int32)
-                return nxt, out.num_attenuated
+                # full-output dependency over every leaf (a partial dep
+                # lets XLA DCE whole phases — round-4 lesson)
+                dep = sum(
+                    leaf.sum().astype(jnp.float32)
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                nxt = eps + (dep * 0.0).astype(jnp.int32)
+                return nxt, dep
             _, nas = jax.lax.scan(
                 body, jnp.int32(0), None, length=n_chain
             )

@@ -459,6 +459,94 @@ def test_dror_keeps_dense_removes_sparse():
     assert not keep[len(wall):].any()
 
 
+def _dror_numpy_counts(pc, alpha=0.45, beta=3.0, sr_min=0.04):
+    """f64 literal neighbour count (the DROR definition, Charron et al.)."""
+    import math as _m
+
+    xyz = pc[:, :3].astype(np.float64)
+    r = np.linalg.norm(xyz, axis=1)
+    sr = np.maximum(sr_min, beta * _m.radians(alpha) * r)
+    sq = (xyz * xyz).sum(1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (xyz @ xyz.T), 0.0)
+    return (d2 <= sr[:, None] ** 2).sum(1) - 1, np.sqrt(d2), sr
+
+
+def _boundary_safe_cloud(seed, n=4000):
+    """Random ring cloud whose pair distances all clear the radius boundary
+    by >2e-3 m, so f32 cancellation noise cannot flip any pair (see
+    models/dror.py docstring) and windowed == full == f64 exactly."""
+    rng = np.random.default_rng(seed)
+    theta = rng.uniform(-np.pi, np.pi, n)
+    r = rng.uniform(2, 80, n)
+    z = rng.uniform(-2, 1, n)
+    pc = np.column_stack(
+        [r * np.cos(theta), r * np.sin(theta), z]
+    ).astype(np.float32)
+    # ~n²/2 pairs virtually guarantee some boundary-tied pair at any seed:
+    # REPAIR the cloud by nudging offenders until every gap clears 2e-3
+    for _ in range(50):
+        counts, d, sr = _dror_numpy_counts(pc)
+        gap = np.abs(d - sr[:, None])
+        np.fill_diagonal(gap, 1.0)
+        bad = np.unique(np.nonzero(gap < 2e-3)[0])
+        if len(bad) == 0:
+            break
+        pc[bad, 2] += rng.uniform(0.004, 0.01, len(bad)).astype(np.float32)
+    else:
+        raise AssertionError("fixture repair did not converge")
+    return pc, counts
+
+
+def test_dror_windowed_matches_full_and_f64():
+    """The azimuth-windowed kernel, the full-N kernel, and the f64 literal
+    definition agree exactly on a boundary-safe cloud (incl. points within
+    the seam reach of ±pi)."""
+    pc, counts = _boundary_safe_cloud(seed=3)
+    keep_np = counts >= 3
+    keep_w = dynamic_radius_outlier_filter(pc)            # windowed path
+    keep_f = dynamic_radius_outlier_filter(pc, window=0)  # full-N kernel
+    assert (keep_w == keep_np).all()
+    assert (keep_f == keep_np).all()
+
+
+def test_dror_windowed_overflow_falls_back_exact():
+    """A point whose radius reaches past its own horizontal range (ρ < sr)
+    can neighbour any azimuth -> the windowed kernel must COUNT an overflow
+    and the wrapper must fall back to the exact full-N kernel."""
+    import math as _m
+
+    import jax.numpy as jnp
+
+    from lidar_snow_sim_tpu.models.dror import _jit_dror_windowed
+
+    pc, counts = _boundary_safe_cloud(seed=3)
+    pc = np.vstack([pc, np.array([[0.01, 0.0, 0.5]], np.float32)])
+    cap = ((len(pc) + 255) // 256) * 256
+    xyz = np.full((cap, 3), 1e6, np.float32)
+    xyz[: len(pc)] = pc[:, :3]
+    mask = np.zeros(cap, bool)
+    mask[: len(pc)] = True
+    _, ovf = _jit_dror_windowed(
+        jnp.asarray(xyz), jnp.asarray(mask),
+        jnp.float32(_m.radians(0.45)), jnp.float32(3.0), jnp.int32(3),
+        jnp.float32(0.04), block=256, window=2048, margin=1024,
+    )
+    assert int(ovf) > 0
+    keep = dynamic_radius_outlier_filter(pc)   # wrapper falls back
+    keep_full = dynamic_radius_outlier_filter(pc, window=0)
+    assert (keep == keep_full).all()
+
+
+def test_dror_windowed_tiny_cloud_and_ragged_n():
+    """n < block, n < margin, n not a block multiple all work."""
+    pc, counts = _boundary_safe_cloud(seed=3)
+    for m in (3, 57, 300, 1000):
+        sub = pc[:m]
+        keep_w = dynamic_radius_outlier_filter(sub)
+        keep_f = dynamic_radius_outlier_filter(sub, window=0)
+        assert (keep_w == keep_f).all(), m
+
+
 def test_dror_radius_scales_with_range():
     """The same 12 cm spacing survives at far range, not at near range."""
     def line_at(dist, spacing, n=30):
