@@ -89,6 +89,19 @@ class SnowfallConfig:
     # overflow is counted in compact_overflow and raised by the wrapper).
     # Occluded fraction at the heaviest reference rate is ~20-30%.
     compact_capacity: int = 0
+    # phase-D scatter compaction: UNTOUCHED compacted points scatter back
+    # bit-identical values (the scale factor is exactly 1.0 and the decision
+    # tail keeps the original intensity/label), so only label > 0 points
+    # need the intensity+label scatter and only label == 2 points (the ones
+    # the pulse MOVES) need the xyz scatters — and TPU scatter cost scales
+    # with the update count. touch_capacity bounds the intensity scatter
+    # set, scatter_capacity the xyz scatter set (0 = auto: 3/4 resp. 1/4
+    # of the compact capacity — the bench scan at the heaviest reference
+    # rate touches ~66% of compact capacity but moves only ~9.5%).
+    # Misses count into compact_overflow and the
+    # host wrappers grow compact_capacity (auto caps scale along).
+    touch_capacity: int = 0
+    scatter_capacity: int = 0
     pulse_chunk: int = 2048         # compacted points per pulse-phase step
     pulse_block: int = 512          # Pallas pulse-kernel block width (points);
                                     # falls back to the largest divisor of the

@@ -85,7 +85,9 @@ class SnowfallResult(NamedTuple):
     occluder_overflow: jax.Array   # i32: intersecting beyond max_occluders
     bump_overflow: jax.Array       # i32: nonzero-ratio beyond max_bumps
     channel_overflow: jax.Array    # i32: points beyond channel_capacity (dense)
-    compact_overflow: jax.Array    # i32: occluded points beyond compact_capacity
+    compact_overflow: jax.Array    # i32: occluded points beyond
+    # compact_capacity, plus touched/moved points beyond touch_capacity /
+    # scatter_capacity (all three grow together in the host wrappers)
 
 
 def _batched_searchsorted(sorted_rows, rows, targets, length: int):
@@ -1217,18 +1219,80 @@ def snowfall_augment_dense(
     # scatters with ONE i32 inverse-map scatter + a fused (5, n) column
     # gather + selects benched 34.37 vs 30.31 ms/step — the wide gather
     # pays per-cell over n (not cap) columns, which exceeds the scatters.
-    new_xyz_planes = [
-        xyz[:, i].at[tgt].set(nx[:, i], mode="drop", unique_indices=True)
-        for i in range(3)
-    ]
+    #
+    # Touched-only compaction (round 4): an UNTOUCHED compacted point
+    # scatters back bit-identical values — scale_r is exactly 1.0 (x * 1.0
+    # preserves every f32 bit incl. -0.0), ni selects c_int (a bit-exact
+    # copy of the input intensity), and lab is 0 (the packed default) — so
+    # skipping it changes nothing. Only label == 2 points MOVE (need the
+    # xyz scatters; label == 1 keeps xyz exactly: scale_r is 1.0 there
+    # too) and only label > 0 points need the intensity+label scatter.
+    # TPU scatter cost scales with the update count (near-serial), so one
+    # tiny 2-operand segment sort + one fused 5-row gather buys ~4x fewer
+    # scatter updates. Capacity misses are COUNTED into compact_overflow
+    # (never silent) and grow with compact_capacity.
+    lab_i = lab.astype(jnp.int32)
+    packed_new = jnp.round(ni).astype(jnp.int32) * 4 + lab_i
+    # auto caps from measured populations (BASELINE.md round-4: bench scan
+    # at the heaviest rate touches ~66% of the compact capacity, but only
+    # ~9.5% is label 2 — attenuation dominates, movement is rare)
+    tcap = min(cfg.touch_capacity or max(3 * cap // 4, 256), cap)
+    scap = min(cfg.scatter_capacity or max(cap // 4, 256), tcap)
+    touch_overflow = jnp.int32(0)
+    if tcap < cap:
+        is_scat = c_ok & (lab_i == 2)
+        is_touch = c_ok & (lab_i > 0)
+        cap_i = jnp.int32(cap)
+        seg = jnp.where(
+            is_scat, 0,
+            jnp.where(is_touch, cap_i,
+                      jnp.where(c_ok, 2 * cap_i, 3 * cap_i)),
+        )
+        _, t_idx = jax.lax.sort(
+            (seg, jnp.arange(cap, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        touch_overflow = (
+            jnp.maximum(jnp.sum(is_scat) - scap, 0)
+            + jnp.maximum(jnp.sum(is_touch) - tcap, 0)
+        ).astype(jnp.int32)
+        # ONE fused 5-row column gather (i32 rows ride bitcast — pure data
+        # movement, no f32 canonicalization; same trick as the sperm
+        # payload above). Rows: target, x, y, z, packed intensity+label.
+        gstack = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(tgt, jnp.float32),
+                nx[:, 0], nx[:, 1], nx[:, 2],
+                jax.lax.bitcast_convert_type(packed_new, jnp.float32),
+            ],
+            axis=0,
+        )                                                  # (5, cap)
+        gt = gstack[:, t_idx[:tcap]]                       # (5, tcap)
+        t_tgt = jax.lax.bitcast_convert_type(gt[0], jnp.int32)
+        t_packed = jax.lax.bitcast_convert_type(gt[4], jnp.int32)
+        # slots past the real touched count hold untouched (or dead) rows:
+        # scattering them is benign — identical values (or a dropped n
+        # sentinel target)
+        new_xyz_planes = [
+            xyz[:, i].at[t_tgt[:scap]].set(
+                gt[1 + i][:scap], mode="drop", unique_indices=True
+            )
+            for i in range(3)
+        ]
+        scatter_tgt, scatter_val = t_tgt, t_packed
+    else:
+        new_xyz_planes = [
+            xyz[:, i].at[tgt].set(nx[:, i], mode="drop", unique_indices=True)
+            for i in range(3)
+        ]
+        scatter_tgt, scatter_val = tgt, packed_new
     # intensity+label ride ONE i32 scatter: the output intensity is
     # jnp.round()ed either way (simulation.py:516), so round(i) * 4 + label
     # is lossless (labels are {0,1,2}; two's-complement >>2 floors exactly
     # for negative rounded intensities too) and saves an n-sized scatter.
     packed0 = jnp.round(intensity).astype(jnp.int32) * 4
-    packed = packed0.at[tgt].set(
-        jnp.round(ni).astype(jnp.int32) * 4 + lab.astype(jnp.int32),
-        mode="drop", unique_indices=True,
+    packed = packed0.at[scatter_tgt].set(
+        scatter_val, mode="drop", unique_indices=True,
     )
     new_int = (packed >> 2).astype(points.dtype)
     label = (packed & 3).astype(points.dtype)
@@ -1255,7 +1319,9 @@ def snowfall_augment_dense(
         occluder_overflow=jnp.sum(occ_of).astype(jnp.int32),
         bump_overflow=jnp.sum(bump_of).astype(jnp.int32),
         channel_overflow=channel_overflow.astype(jnp.int32),
-        compact_overflow=compact_overflow.astype(jnp.int32),
+        compact_overflow=(compact_overflow + touch_overflow).astype(
+            jnp.int32
+        ),
     )
 
 
@@ -1322,6 +1388,14 @@ class SnowfallAugmenter:
                 cfg, self.calib.num_lasers
             )
             new = dict(compact_capacity=cap * 2)
+            # explicit touch/scatter caps scale along (auto ones derive
+            # from compact_capacity and grow for free)
+            if cfg.touch_capacity:
+                new["touch_capacity"] = min(cfg.touch_capacity * 2, cap * 2)
+            if cfg.scatter_capacity:
+                new["scatter_capacity"] = min(
+                    cfg.scatter_capacity * 2, cap * 2
+                )
         else:
             return False
         self.cfg = dataclasses.replace(cfg, **new)

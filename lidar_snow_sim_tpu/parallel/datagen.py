@@ -208,6 +208,14 @@ def run_snowfall_datagen(
                     cfg, calib.num_lasers
                 )
                 new["compact_capacity"] = cap * 2
+                if cfg.touch_capacity:
+                    new["touch_capacity"] = min(
+                        cfg.touch_capacity * 2, cap * 2
+                    )
+                if cfg.scatter_capacity:
+                    new["scatter_capacity"] = min(
+                        cfg.scatter_capacity * 2, cap * 2
+                    )
             elif name == "out_overflow":
                 if out_points >= cfg.max_points:
                     return None, None

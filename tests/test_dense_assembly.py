@@ -270,6 +270,32 @@ def test_dense_compact_overflow_detected(setup):
     assert int(res.compact_overflow) > 0
 
 
+def test_dense_touch_overflow_counted_and_equal(setup):
+    """touch/scatter capacities below the touched/moved point counts must be
+    COUNTED into compact_overflow (never silently truncate), and generous
+    capacities must reproduce the full-scatter path bit-for-bit."""
+    base = dict(
+        max_points=8192, window_size=256, wide_capacity=64,
+        max_occluders=48, max_bumps=24, assembly="dense",
+        channel_capacity=128, block_points=32, slice_width=256, chunk_group=8,
+    )
+    full = _run(setup, SnowfallConfig(**base))  # auto caps engage
+    assert int(full.compact_overflow) == 0
+    # the full-capacity path (touch_capacity == compact cap disables the
+    # second compaction) must agree bit-for-bit
+    cap = 8192  # >= compact capacity: forces the legacy full-cap scatters
+    legacy = _run(
+        setup, SnowfallConfig(**base, touch_capacity=cap, scatter_capacity=cap)
+    )
+    np.testing.assert_array_equal(full.planes, legacy.planes)
+    np.testing.assert_array_equal(full.keep, legacy.keep)
+    # starved capacities: the deficit is counted, nothing silently truncates
+    starved = _run(
+        setup, SnowfallConfig(**base, touch_capacity=4, scatter_capacity=4)
+    )
+    assert int(starved.compact_overflow) > 0
+
+
 def test_dense_slice_overflow_detected(setup):
     """A slice too narrow to cover its block's windows must be counted."""
     cfg = SnowfallConfig(
