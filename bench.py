@@ -23,7 +23,11 @@ CACHE = Path(__file__).parent / "banks_cache"
 SNOWFALL_RATE = 2.5
 TERMINAL_VELOCITY = 1.6
 DISTRIBUTION = "gunn"
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # measured knee (BASELINE.md)
+# Measured knee (BASELINE.md). Batch 8 was the knee through most of round 4;
+# the touched-only phase-D compaction shrank per-point work enough that 16
+# now wins the same-session 3-way A/B (466.6 vs 395.2 vs 325.6 scans/s at
+# 16/8/4).
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 ORACLE_POINTS = int(os.environ.get("BENCH_ORACLE_POINTS", "400"))
 # BENCH_SWEEP="4,8,16,32,64,128": measure every batch size, report the curve
 # on stderr, and emit the best batch's throughput as the headline metric.

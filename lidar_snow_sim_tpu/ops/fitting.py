@@ -145,6 +145,34 @@ def masked_median_and_mad(x, mask):
     return m1, jnp.where(n > 0, mad, big)
 
 
+def _solve3(a, b):
+    """Closed-form 3x3 solve (Cramer via adjugate): one fused elementwise
+    expression instead of an LU custom-call. The vmapped RANSAC trial
+    solves paid 0.4 ms/step in LuDecompositionBlock at bench shapes for
+    64 tiny systems; this is ~free. Not used where exact golden parity
+    pins the solver's float behavior (masked_polyfit2 keeps linalg.solve)."""
+    c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+    c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+    c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+    det = a[0, 0] * c00 + a[0, 1] * c01 + a[0, 2] * c02
+    c10 = a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]
+    c11 = a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0]
+    c12 = a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1]
+    c20 = a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]
+    c21 = a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]
+    c22 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    adj = jnp.array([[c00, c10, c20], [c01, c11, c21], [c02, c12, c22]])
+    return (adj @ b) / det
+
+
+def _solve2(a, b):
+    """Closed-form 2x2 solve (same rationale as _solve3)."""
+    det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    return jnp.array(
+        [a[1, 1] * b[0] - a[0, 1] * b[1], a[0, 0] * b[1] - a[1, 0] * b[0]]
+    ) / det
+
+
 def ransac_plane(
     xyz,
     mask,
@@ -182,8 +210,12 @@ def ransac_plane(
     # the crop is empty (c[-1] == 0) the `good` gate below discards the fit.
     c = jnp.cumsum(crop.astype(jnp.float32))
     u = jnp.minimum(jax.random.uniform(key, (trials, 3)) * c[-1], c[-1] - 0.5)
+    # scan_unrolled: the default scan method lowers to a ~17-trip while
+    # loop of tiny gathers (0.23 ms/step of dispatch at bench shapes);
+    # unrolling removes the loop machinery for identical results
     idx = jnp.clip(
-        jnp.searchsorted(c, u, side="right"), 0, c.shape[0] - 1
+        jnp.searchsorted(c, u, side="right", method="scan_unrolled"),
+        0, c.shape[0] - 1,
     )                                                             # (T, 3)
 
     pts = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)            # (N, 3)
@@ -191,7 +223,7 @@ def ransac_plane(
     def trial(i3):
         a = pts[i3]                    # (3, 3) rows [x, y, 1]
         zz = z[i3]
-        coef = jnp.linalg.solve(a + 1e-12 * jnp.eye(3), zz)
+        coef = _solve3(a + 1e-12 * jnp.eye(3), zz)
         resid = z - (x * coef[0] + y * coef[1] + coef[2])
         ok = jnp.isfinite(coef).all()
         inl = crop & (resid**2 < thresh) & ok
@@ -214,7 +246,7 @@ def ransac_plane(
     sxz = jnp.sum(w_ * cx * cz)
     syz = jnp.sum(w_ * cy * cz)
     g = jnp.array([[sxx, sxy], [sxy, syy]])
-    ab = jnp.linalg.solve(g + 1e-9 * jnp.eye(2), jnp.array([sxz, syz]))
+    ab = _solve2(g + 1e-9 * jnp.eye(2), jnp.array([sxz, syz]))
     intercept = mz - ab[0] * mx - ab[1] * my
 
     w_vec = jnp.array([ab[0], ab[1], -1.0])
