@@ -249,8 +249,14 @@ def dynamic_radius_outlier_filter(
     Signature mirrors the live-PCL path of the reference
     (`pointcloud_viewer.py:2266-2270`): alpha in degrees, sr_min in meters.
     Runs the azimuth-windowed kernel first; any counted capacity overflow
-    falls back to the exact full-N kernel (never a silent truncation), so
-    the result is always exact. ``window=0`` forces the full-N kernel.
+    falls back to the full-N kernel (never a silent truncation). The result
+    is exact w.r.t. the kernels' f32 ``|xᵢ|²+|xⱼ|²−2xᵢ·xⱼ`` distance
+    expansion — every in-radius pair is COMPARED — with the module
+    docstring's boundary-tie caveat as the one exception: pairs within
+    ~1e-3 m of the radius boundary can flip between the windowed and
+    full-N kernels (different accumulation order), so which of the two
+    answers is returned depends on the overflow-triggered fallback.
+    ``window=0`` forces the full-N kernel.
     """
     pc = np.asarray(pc)
     n = pc.shape[0]

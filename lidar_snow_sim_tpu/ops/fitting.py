@@ -150,7 +150,12 @@ def _solve3(a, b):
     expression instead of an LU custom-call. The vmapped RANSAC trial
     solves paid 0.4 ms/step in LuDecompositionBlock at bench shapes for
     64 tiny systems; this is ~free. Not used where exact golden parity
-    pins the solver's float behavior (masked_polyfit2 keeps linalg.solve)."""
+    pins the solver's float behavior (masked_polyfit2 keeps linalg.solve).
+
+    Returns (solution, det) so callers can reject near-singular systems
+    explicitly: unlike pivoted LU, the adjugate solve turns a degenerate
+    sample (collinear or duplicate points) into large-but-finite garbage
+    that would pass a bare isfinite gate."""
     c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
     c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
     c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
@@ -162,7 +167,7 @@ def _solve3(a, b):
     c21 = a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]
     c22 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
     adj = jnp.array([[c00, c10, c20], [c01, c11, c21], [c02, c12, c22]])
-    return (adj @ b) / det
+    return (adj @ b) / det, det
 
 
 def _solve2(a, b):
@@ -223,9 +228,13 @@ def ransac_plane(
     def trial(i3):
         a = pts[i3]                    # (3, 3) rows [x, y, 1]
         zz = z[i3]
-        coef = _solve3(a + 1e-12 * jnp.eye(3), zz)
+        coef, det = _solve3(a + 1e-12 * jnp.eye(3), zz)
         resid = z - (x * coef[0] + y * coef[1] + coef[2])
-        ok = jnp.isfinite(coef).all()
+        # |det| gate: crop coordinates are O(10-70) m, so any genuine
+        # 3-point triangle has |det| >> 1e-6; collinear/duplicate samples
+        # (searchsorted can return repeated indices) land near 0 and must
+        # be rejected explicitly, not by numerical luck (ADVICE r4)
+        ok = jnp.isfinite(coef).all() & (jnp.abs(det) > 1e-6)
         inl = crop & (resid**2 < thresh) & ok
         return jnp.sum(inl), inl
 

@@ -118,7 +118,9 @@ def main(argv=None):
                     block=128, window=2048, margin=1024,
                 )
             )(p)
-            return keep.astype(jnp.float32) + ovf.astype(jnp.float32)
+            # keep is (batch, N), ovf is (batch,): broadcast on a new
+            # trailing axis (a bare + raised at trace time)
+            return keep.astype(jnp.float32) + ovf.astype(jnp.float32)[:, None]
     else:
         vstep_raw = jax.vmap(
             lambda p, m, o, k, bk, c: snowfall_augment(p, m, bk, c, o, k, cfg),
