@@ -23,6 +23,19 @@ import numpy as np
 
 MIN_DIST = 3.0  # the viewer's hard minimum distance (pointcloud_viewer.py)
 
+# Augmenter instances are cached per parameter key so a serve loop (or a
+# repeated in-process CLI call) reuses loaded banks and compiled kernels —
+# the reference viewer keeps its state in the Qt window between slider
+# moves (`snowfall_change`, pointcloud_viewer.py:1635); this is the
+# headless equivalent.
+_AUGMENTER_CACHE: dict = {}
+
+
+def _cached(key, factory):
+    if key not in _AUGMENTER_CACHE:
+        _AUGMENTER_CACHE[key] = factory()
+    return _AUGMENTER_CACHE[key]
+
 
 def add_pipeline_args(ap):
     """Scan + mask + augmentation arguments shared by the headless
@@ -170,13 +183,18 @@ def run_pipeline(args, ap):
             max_points=cap, window_size=256, wide_capacity=128,
             max_occluders=64, max_bumps=32, point_chunk=2048,
         )
-        bank = load_bank_files(
-            args.bank_dir, prefix, window_size=cfg.window_size,
-            wide_threshold=cfg.wide_threshold, wide_capacity=cfg.wide_capacity,
-        )
-        calib = load_hdl64_calib()
-        stats, pc = SnowfallAugmenter(
-            bank=bank, calib=calib, cfg=cfg, seed=args.seed
+        def make_snow():
+            bank = load_bank_files(
+                args.bank_dir, prefix, window_size=cfg.window_size,
+                wide_threshold=cfg.wide_threshold,
+                wide_capacity=cfg.wide_capacity,
+            )
+            return SnowfallAugmenter(
+                bank=bank, calib=load_hdl64_calib(), cfg=cfg, seed=args.seed
+            )
+
+        stats, pc = _cached(
+            ("snow", str(args.bank_dir), prefix, cap, args.seed), make_snow
         )(pc)
         report["snow"] = {
             "num_attenuated": stats[0],
@@ -187,13 +205,16 @@ def run_pipeline(args, ap):
     if aug in ("wet", "snow+wet"):
         from lidar_snow_sim_tpu.models.wet_ground import WetGroundAugmenter
 
-        pc = WetGroundAugmenter(seed=args.seed)(pc)
+        pc = _cached(
+            ("wet", args.seed), lambda: WetGroundAugmenter(seed=args.seed)
+        )(pc)
         report["wet"] = {"points": len(pc)}
     if aug == "lisa":
         from lidar_snow_sim_tpu.models.lisa import LISA
 
-        pc, stats = LISA().augment_compact(pc, args.rain_rate, fixed_seed=True,
-                                           seed=args.seed)
+        pc, stats = _cached(("lisa",), LISA).augment_compact(
+            pc, args.rain_rate, fixed_seed=True, seed=args.seed
+        )
         report["lisa"] = stats
     if aug == "fog":
         from lidar_snow_sim_tpu.models.fog import (
@@ -201,14 +222,20 @@ def run_pipeline(args, ap):
             FogParameterSet,
         )
 
-        pc, stats = FogAugmenter(
-            FogParameterSet(alpha=args.fog_alpha), seed=args.seed
+        pc, stats = _cached(
+            ("fog", args.fog_alpha, args.seed),
+            lambda: FogAugmenter(
+                FogParameterSet(alpha=args.fog_alpha), seed=args.seed
+            ),
         )(pc)
         report["fog"] = stats
     if aug == "stf_fog":
         from lidar_snow_sim_tpu.models.stf_fog import StfFogAugmenter
 
-        pc, stats = StfFogAugmenter(beta=args.beta, seed=args.seed)(pc)
+        pc, stats = _cached(
+            ("stf_fog", args.beta, args.seed),
+            lambda: StfFogAugmenter(beta=args.beta, seed=args.seed),
+        )(pc)
         report["stf_fog"] = stats
 
     if aug != "none":

@@ -34,6 +34,15 @@ points embedded as base64 Float32Array). Open the file in any browser:
 Example:
   python -m lidar_snow_sim_tpu.tools.viewer scan.bin --augment snow \
       --bank-dir banks --rate 2.5 --velocity 1.6 --out scan.html
+
+LIVE mode (`--serve`) covers the Qt viewer's interactive loop: parameter
+controls re-run the augmentation chain server-side on every change
+(`snowfall_change`, `pointcloud_viewer.py:1635`) and a "run inference"
+button runs the PointPillars engine on the currently displayed, augmented
+cloud (`run_inference`, `:2388-2436`) — see tools/serve.py:
+
+  python -m lidar_snow_sim_tpu.tools.viewer scan.bin --serve \
+      --bank-dir banks --experiment exp/   # then open http://127.0.0.1:8008
 """
 
 from __future__ import annotations
@@ -120,7 +129,8 @@ _PAGE = """<!DOCTYPE html>
   boxes <input id="bx" type="checkbox" checked>
   pred&ge; <input id="thr" type="range" min="0" max="100" value="{pred_threshold}"
    style="width:70px"><span id="thrv">{pred_threshold}</span></div>
- {stats_html}
+{serve_html}
+ <div id="stats">{stats_html}</div>
  <div class="stat" style="color:#888">drag orbit / wheel zoom /
  shift-drag pan / arrow keys switch frame</div>
 </div>
@@ -271,9 +281,124 @@ document.getElementById("thr").addEventListener("input", e => {{
   document.getElementById("thrv").textContent = e.target.value;
   draw();
 }});
+{serve_js}
 resize();
 </script></body></html>
 """
+
+# ---- live-serve additions (tools/serve.py; the Qt viewer's interactive
+# loop: parameter change -> re-augment (`snowfall_change`,
+# pointcloud_viewer.py:1635); button -> inference on the displayed cloud
+# (`run_inference`, :2388-2436)) --------------------------------------------
+
+_SERVE_HTML = """
+ <div style="border-top:1px solid #333;margin-top:4px;padding-top:4px">
+  <div>aug <select id="aug">{aug_options}</select>
+   dror <input id="dror" type="checkbox"{dror_checked}>
+   <button id="inferbtn">run inference</button> <span id="busy"
+    style="color:#e8a33d"></span></div>
+  <div id="p_snow">rate <input id="rate" type="range" min="0.5" max="2.5"
+    step="0.5" value="{rate}" style="width:70px"><span id="ratev">{rate}</span>
+   vel <input id="vel" type="range" min="0.6" max="2.0" step="0.2"
+    value="{velocity}" style="width:70px"><span id="velv">{velocity}</span>
+   <select id="dist">{dist_options}</select></div>
+  <div id="p_lisa">rain mm/h <input id="rain" type="range" min="1" max="100"
+    step="1" value="{rain_rate}" style="width:90px">
+   <span id="rainv">{rain_rate}</span></div>
+  <div id="p_fog">alpha <input id="foga" type="range" min="0.005" max="0.12"
+    step="0.005" value="{fog_alpha}" style="width:90px">
+   <span id="fogav">{fog_alpha}</span></div>
+  <div id="p_stf">beta <input id="beta" type="range" min="0.01" max="0.2"
+    step="0.002" value="{beta}" style="width:90px">
+   <span id="betav">{beta}</span></div>
+ </div>"""
+
+# literal JS (inserted after .format(), so braces are safe here)
+_SERVE_JS = """
+const $id = (i) => document.getElementById(i);
+const statsDiv = $id("stats");
+function setStats(st) {
+  statsDiv.innerHTML = Object.entries(st).map(([k, v]) =>
+    '<div class="stat">' + k + ": " +
+    (typeof v === "object" ? JSON.stringify(v) : v) + "</div>").join("");
+}
+function serveParams() {
+  return {augment: $id("aug").value, rate: +$id("rate").value,
+          velocity: +$id("vel").value, mode: $id("dist").value,
+          rain_rate: +$id("rain").value, fog_alpha: +$id("foga").value,
+          beta: +$id("beta").value, dror: $id("dror").checked};
+}
+function showPanels() {
+  const a = $id("aug").value;
+  $id("p_snow").style.display = a.includes("snow") ? "" : "none";
+  $id("p_lisa").style.display = a === "lisa" ? "" : "none";
+  $id("p_fog").style.display = a === "fog" ? "" : "none";
+  $id("p_stf").style.display = a === "stf_fog" ? "" : "none";
+}
+async function servePost(path) {
+  $id("busy").textContent = "working…";
+  try {
+    const r = await fetch(path, {method: "POST",
+      headers: {"Content-Type": "application/json"},
+      body: JSON.stringify(serveParams())});
+    const j = await r.json();
+    if (j.error) { $id("busy").textContent = "error: " + j.error; return null; }
+    $id("busy").textContent = "";
+    return j;
+  } catch (e) { $id("busy").textContent = "error: " + e; return null; }
+}
+async function reaugment() {
+  const j = await servePost("/augment");
+  if (!j) return;
+  FRAMES[fi] = j.frame;
+  delete cache[fi];
+  if (j.stats) setStats(j.stats);
+  draw();
+}
+async function runInference() {
+  const j = await servePost("/infer");
+  if (!j) return;
+  const fr = frame(fi);
+  fr.boxes = fr.boxes.filter(b => b.s < 0).concat(j.boxes);
+  FRAMES[fi].boxes = fr.boxes;
+  if (j.stats) setStats(j.stats);
+  draw();
+}
+for (const cid of ["aug","rate","vel","dist","rain","foga","beta","dror"])
+  $id(cid).addEventListener("change", () => {
+    showPanels();
+    for (const [i, o] of [["rate","ratev"],["vel","velv"],["rain","rainv"],
+                          ["foga","fogav"],["beta","betav"]])
+      $id(o).textContent = $id(i).value;
+    reaugment();
+  });
+$id("inferbtn").addEventListener("click", runInference);
+showPanels();
+"""
+
+_AUG_CHOICES = ("none", "snow", "wet", "snow+wet", "lisa", "fog", "stf_fog")
+
+
+def _serve_panel(defaults: dict) -> str:
+    """The parameter panel HTML for serve mode, pre-set to the CLI args."""
+    aug = defaults.get("augment", "none")
+    mode = defaults.get("mode", "gunn")
+    return _SERVE_HTML.format(
+        aug_options="".join(
+            f'<option{" selected" if a == aug else ""}>{a}</option>'
+            for a in _AUG_CHOICES
+        ),
+        dist_options="".join(
+            f'<option{" selected" if m == mode else ""}>{m}</option>'
+            for m in ("gunn", "sekhon")
+        ),
+        dror_checked=" checked" if defaults.get("dror") else "",
+        rate=defaults.get("rate", 0.5),
+        velocity=defaults.get("velocity", 2.0),
+        rain_rate=defaults.get("rain_rate", 10.0),
+        fog_alpha=defaults.get("fog_alpha", 0.02),
+        beta=defaults.get("beta", 0.046),
+    )
 
 
 def _box_entries(boxes, preds) -> list:
@@ -343,21 +468,23 @@ def _frame_payload(pc: np.ndarray, boxes, max_points: int,
     }
 
 
-def write_viewer_html(
+def render_page(
     frames,
-    out_path: str | Path,
     *,
     title: str = "scan",
     stats: dict | None = None,
     center_index: int = 0,
     max_points: int = 200_000,
     pred_threshold: int = 50,
-) -> Path:
+    serve_defaults: dict | None = None,
+) -> str:
     """Render frames [(name, (N, 5) points, boxes[, preds[, image]])] to
-    one self-contained interactive HTML file; `center_index` selects the
-    initially shown frame (the non-neighbor sample). `preds` are Box3D
+    one self-contained interactive HTML page string; `center_index` selects
+    the initially shown frame (the non-neighbor sample). `preds` are Box3D
     predictions gated live by the score-threshold slider (initially
-    `pred_threshold` %); `image` embeds the synchronized camera frame."""
+    `pred_threshold` %); `image` embeds the synchronized camera frame.
+    `serve_defaults` (tools/serve.py) adds the live parameter panel +
+    fetch JS wired to the /augment and /infer endpoints."""
     payloads = []
     names = []
     for entry in frames:
@@ -398,9 +525,18 @@ def write_viewer_html(
         ),
         stats_html=stats_html,
         pred_threshold=int(pred_threshold),
+        serve_html=(
+            _serve_panel(serve_defaults) if serve_defaults is not None else ""
+        ),
+        serve_js=_SERVE_JS if serve_defaults is not None else "",
     )
+    return page
+
+
+def write_viewer_html(frames, out_path: str | Path, **kwargs) -> Path:
+    """render_page() written to `out_path` (the static one-shot CLI mode)."""
     out_path = Path(out_path)
-    out_path.write_text(page)
+    out_path.write_text(render_page(frames, **kwargs))
     return out_path
 
 
@@ -425,11 +561,8 @@ def _neighbor_paths(scan: Path, lo: int, hi: int) -> list[Path]:
     return out or [scan]
 
 
-def main(argv=None):
-    from lidar_snow_sim_tpu.tools.inspect import (
-        add_pipeline_args,
-        run_pipeline,
-    )
+def build_parser() -> argparse.ArgumentParser:
+    from lidar_snow_sim_tpu.tools.inspect import add_pipeline_args
 
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     add_pipeline_args(ap)
@@ -457,7 +590,41 @@ def main(argv=None):
                          "--neighbors=-6:4 so argparse accepts the dash); "
                          "each neighbor runs the same mask+augmentation "
                          "pipeline")
+    srv = ap.add_argument_group(
+        "live serve mode (the Qt viewer's interactive loop: sliders "
+        "re-augment, a button runs inference — pointcloud_viewer.py:1635,"
+        ":2388-2436)"
+    )
+    srv.add_argument("--serve", action="store_true",
+                     help="serve the viewer live instead of writing HTML")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8008)
+    srv.add_argument("--experiment", default=None,
+                     help="OpenPCDet experiment dir for the inference "
+                          "button (.yaml + .pth / params_tpu.npz)")
+    srv.add_argument("--config", default=None,
+                     help="explicit detector config yaml")
+    srv.add_argument("--params", default=None,
+                     help="explicit detector params .npz")
+    srv.add_argument("--random-params", action="store_true",
+                     help="random detector weights (smoke test)")
+    srv.add_argument("--max-pillars", type=int, default=0,
+                     help="override detector pillar capacity")
+    srv.add_argument("--intensity-scale", type=float, default=1.0 / 255.0,
+                     help="intensity prescale before the detector")
+    return ap
+
+
+def main(argv=None):
+    from lidar_snow_sim_tpu.tools.inspect import run_pipeline
+
+    ap = build_parser()
     args = ap.parse_args(argv)
+
+    if args.serve:
+        from lidar_snow_sim_tpu.tools.serve import serve_viewer
+
+        return serve_viewer(args, ap)
 
     from lidar_snow_sim_tpu.utils.boxes import boxes_from_array
     from lidar_snow_sim_tpu.utils.datasets import (
