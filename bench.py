@@ -63,9 +63,54 @@ DETECT_TRAIN_BATCH = int(os.environ.get("BENCH_DETECT_TRAIN_BATCH", "4"))
 # v5e single-chip peaks for the roofline readout (public spec: 197 bf16
 # TFLOP/s MXU, 819 GB/s HBM; VPU f32 vector throughput is ~4 TFLOP/s — the
 # "few TFLOP/s" scaling-book figure — which is the relevant ceiling here
-# because the hot kernels are VPU work, not matmuls).
+# because the hot kernels are VPU work, not matmuls). The MXU peak is the
+# detector's ceiling (conv backbone); f32 convs run the MXU at half rate.
 HBM_GBPS = 819.0
 VPU_TFLOPS = 4.0
+MXU_TFLOPS = {"bfloat16": 197.0, "float32": 98.5}
+
+
+def _detector_flop_model(cfg) -> float:
+    """Hand matmul/conv FLOP count per scan of the PointPillars forward at
+    `cfg` (multiply-accumulate = 2 FLOPs): PFN linear, backbone convs,
+    transpose-conv deblocks, 1x1 head convs. Elementwise/BN/NMS work is
+    excluded — it is not MXU work, so this is the right numerator for an
+    MFU readout (VERDICT r4 item 2)."""
+    flops = 0.0
+    # PFN: (V, P, in) x (in, C) per layer
+    in_ch = 10
+    for c in cfg.pfn_filters:
+        flops += 2.0 * cfg.max_pillars * cfg.max_points_per_pillar * in_ch * c
+        in_ch = c
+    # backbone stages: one strided 3x3 conv + n 3x3 convs each
+    nx, ny, _ = cfg.grid_size
+    hh, ww = ny, nx
+    c_in = cfg.pfn_filters[-1]
+    stage_dims = []
+    for n, s, c in zip(cfg.layer_nums, cfg.layer_strides, cfg.num_filters):
+        hh, ww = hh // s, ww // s
+        stage_dims.append((hh, ww))
+        flops += 2.0 * hh * ww * 9 * c_in * c
+        flops += n * 2.0 * hh * ww * 9 * c * c
+        c_in = c
+    # deblocks: ConvTranspose2d(k=u, stride=u) does k^2 Cin*Cout MACs per
+    # INPUT cell (u >= 1); the 1/u variant is a stride-k conv
+    for (hh, ww), u, c, cu in zip(
+        stage_dims, cfg.upsample_strides, cfg.num_filters,
+        cfg.num_upsample_filters,
+    ):
+        if u >= 1:
+            flops += 2.0 * hh * ww * u * u * c * cu
+        else:
+            k = int(round(1 / u))
+            flops += 2.0 * (hh // k) * (ww // k) * k * k * c * cu
+    # head: three 1x1 convs over the concat map
+    h, w = cfg.feature_map_size
+    c_cat = sum(cfg.num_upsample_filters)
+    a = cfg.num_anchors_per_loc
+    out_ch = a * (len(cfg.class_names) + 7 + cfg.num_dir_bins)
+    flops += 2.0 * h * w * c_cat * out_ch
+    return flops
 
 
 def _roofline_model(cfg, n_ch=64):
@@ -578,6 +623,10 @@ def main():
             dt_tot, ovf = run(long_)
             dt_tot = dt_tot - t_short
         dt = max(dt_tot, 1e-9) / (long_ - short)
+        # MFU readout (VERDICT r4 item 2): hand conv/matmul FLOPs vs the
+        # MXU peak at the compute dtype
+        flops = _detector_flop_model(det_cfg)
+        mxu_peak = MXU_TFLOPS.get(DETECT_DTYPE, MXU_TFLOPS["float32"])
         return {
             "scans_per_sec": round(batch / dt, 1),
             "ms_per_scan": round(dt / batch * 1e3, 3),
@@ -586,6 +635,12 @@ def main():
             "grid": list(det_cfg.grid_size),
             "nms_pre_overflow": int(ovf.sum()),
             "chain": long_,
+            "model_gflops_per_scan": round(flops / 1e9, 2),
+            "achieved_tflops": round(flops * batch / dt / 1e12, 3),
+            "mfu": round(flops * (batch / dt) / (mxu_peak * 1e12), 4),
+            "speed_of_light_ms_per_scan": round(
+                flops / (mxu_peak * 1e12) * 1e3, 3
+            ),
         }
 
     def measure_detect_train(batch=DETECT_TRAIN_BATCH, iters=None):
@@ -653,6 +708,11 @@ def main():
             dt_tot, loss = run(long_)
             dt_tot = dt_tot - t_short
         dt = max(dt_tot, 1e-9) / (long_ - short)
+        # train MFU: forward + backward ~ 3x the forward conv FLOPs (the
+        # standard fwd:bwd=1:2 matmul accounting); target assignment/optax
+        # are excluded (not MXU work)
+        flops3 = 3.0 * _detector_flop_model(det_cfg)
+        mxu_peak = MXU_TFLOPS.get(DETECT_DTYPE, MXU_TFLOPS["float32"])
         return {
             "steps_per_sec": round(1.0 / dt, 2),
             "scans_per_sec": round(batch / dt, 1),
@@ -661,6 +721,8 @@ def main():
             "dtype": DETECT_DTYPE,
             "final_loss": round(loss, 4),
             "chain": long_,
+            "model_gflops_per_scan_fwd_bwd": round(flops3 / 1e9, 2),
+            "mfu": round(flops3 * (batch / dt) / (mxu_peak * 1e12), 4),
         }
 
     sweep_rows = []

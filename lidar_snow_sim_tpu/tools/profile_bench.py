@@ -34,10 +34,13 @@ def main(argv=None):
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--dump-hlo", default=None)
     ap.add_argument("--model", default="snow",
-                    choices=("snow", "lisa", "dror"),
+                    choices=("snow", "lisa", "dror", "detector"),
                     help="which bench-slope workload to trace: the snowfall "
-                         "core (default) or a weather-baseline step shaped "
-                         "exactly like bench.py's measure_weather slope")
+                         "core (default), a weather-baseline step shaped "
+                         "exactly like bench.py's measure_weather slope, or "
+                         "the PointPillars inference step (measure_detect "
+                         "shape; BENCH_DETECT_DTYPE/BENCH_DETECT_BATCH "
+                         "apply)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -104,6 +107,43 @@ def main(argv=None):
                 )
             )(p, k)
             return res
+    elif args.model == "detector":
+        import dataclasses as _dc
+
+        from lidar_snow_sim_tpu.models import pointpillars as pp
+
+        det_cfg = _dc.replace(
+            pp.PointPillarsConfig(),
+            nms_pre_max=1024,
+            compute_dtype=os.environ.get("BENCH_DETECT_DTYPE", "bfloat16"),
+        )
+        b = int(os.environ.get("BENCH_DETECT_BATCH", str(args.batch)))
+        dparams = pp.init_params(det_cfg, jax.random.PRNGKey(0))
+        # background-level cls logits (bench.py measure_detect): candidate
+        # sparsity matches real scenes
+        dparams["dense_head.conv_cls.weight"] = (
+            dparams["dense_head.conv_cls.weight"] * 0.01
+        )
+        pts4 = np.asarray(padded.points)[:, :4].copy()
+        pts4[:, 3] /= 255.0
+        points = jnp.broadcast_to(jnp.asarray(pts4), (b,) + pts4.shape)
+        mask = jnp.broadcast_to(
+            jnp.asarray(padded.mask), (b,) + padded.mask.shape
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+        # params/anchors ride the `bank` argument slot: captured device
+        # arrays become MLIR constants and force a device->host fetch
+        # during lowering over the tunnel
+        bank = {"params": dparams,
+                "anchors": jnp.asarray(pp.generate_anchors(det_cfg))}
+
+        def vstep_raw(p, m, o, k, bk, c):
+            eps0 = k[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
+            return jax.vmap(
+                lambda pt, mm: pp.detect(
+                    pt + eps0, mm, bk["params"], bk["anchors"], det_cfg
+                )
+            )(p, m)
     elif args.model == "dror":
         import math as _m
 
