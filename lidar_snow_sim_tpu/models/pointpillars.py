@@ -399,30 +399,47 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
         cols.append(col[:-1])
     pillars = jnp.stack(cols, axis=-1).reshape(vmax, pmax, 4)
 
-    # per-pillar coords via the same unique slots, one 1-D scatter per axis
+    # per-pillar counts = min(run length, pmax) at the heads (every point
+    # of a real-vid run is valid — invalid points carry the sentinel vid
+    # and cluster in the final run). Run length = next boundary - head pos,
+    # via an exclusive reverse cummin over boundary positions.
     head_slot = jnp.where(head & (vrank < vmax), vrank, vmax)
     hsel = head & (vrank < vmax)
-    ccols = []
-    for c in (svid // (nx * ny), (svid // nx) % ny, svid % nx):
-        col = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-            jnp.where(hsel, c.astype(jnp.int32), 0), mode="drop"
-        )
-        ccols.append(col[:-1])
-    coords = jnp.stack(ccols, axis=-1)
-
-    # per-pillar counts = min(run length, pmax) written at the heads: one
-    # 1-D unique scatter instead of a 50k scatter-add (every point of a
-    # real-vid run is valid — invalid points carry the sentinel vid and
-    # cluster in the final run). Run length = next boundary - head pos,
-    # via an exclusive reverse cummin over boundary positions.
     bpos = jnp.where(boundary, pos, jnp.int32(n))
     next_boundary = jnp.concatenate(
         [jax.lax.cummin(bpos[::-1])[::-1][1:], jnp.full((1,), n, jnp.int32)]
     )
     rlen = jnp.minimum(next_boundary - pos, pmax)
-    counts = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-        jnp.where(hsel, rlen, 0), mode="drop"
-    )[:-1]
+
+    # coords + counts ride ONE packed i32 scatter when (svid, rlen) fit 31
+    # bits (TPU scatter cost scales with the UPDATE COUNT, near-serial per
+    # row — four n-update scatters here were ~4.8 ms/step at batch 4 on
+    # chip, one is ~1.2): packed = svid << b | rlen, b = bits(pmax).
+    # Unwritten slots default to 0 -> svid 0, count 0 — the same benign
+    # values the separate scatters produced. Lossless by construction
+    # (svid < nz*ny*nx, rlen <= pmax); falls back to per-column scatters
+    # when the static bit budget doesn't fit (huge grids).
+    rbits = pmax.bit_length()  # rlen in [0, pmax]
+    if nz * ny * nx <= ((1 << 31) - 1) >> rbits:
+        packed = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+            jnp.where(hsel, (svid << rbits) | rlen, 0), mode="drop"
+        )[:-1]
+        pvid = packed >> rbits
+        counts = packed & ((1 << rbits) - 1)
+        coords = jnp.stack(
+            [pvid // (nx * ny), (pvid // nx) % ny, pvid % nx], axis=-1
+        )
+    else:
+        ccols = []
+        for c in (svid // (nx * ny), (svid // nx) % ny, svid % nx):
+            col = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+                jnp.where(hsel, c.astype(jnp.int32), 0), mode="drop"
+            )
+            ccols.append(col[:-1])
+        coords = jnp.stack(ccols, axis=-1)
+        counts = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+            jnp.where(hsel, rlen, 0), mode="drop"
+        )[:-1]
 
     return VoxelizeResult(
         pillars=pillars,
@@ -540,7 +557,11 @@ def pfn_forward(feat, params, cfg: PointPillarsConfig, *,
 
 
 def scatter_bev(pfeat, vox, cfg: PointPillarsConfig):
-    """PointPillarScatter: (V, C) -> (C, ny, nx) via one unique scatter."""
+    """PointPillarScatter: (V, C) -> (ny, nx, C) via one unique scatter.
+
+    NHWC output: the canvas scatter's natural (ny*nx, C) layout IS the
+    conv input layout, so no transpose copy — the old (C, ny, nx) emit
+    paid a full-canvas layout copy (~0.9 ms/step at batch 4 on chip)."""
     nx, ny, _ = cfg.grid_size
     v = pfeat.shape[0]
     live = jnp.arange(v) < vox.num_pillars
@@ -551,14 +572,21 @@ def scatter_bev(pfeat, vox, cfg: PointPillarsConfig):
     canvas = canvas.at[flat_ix].set(
         jnp.where(live[:, None], pfeat, 0.0), mode="drop"
     )
-    return canvas[:-1].T.reshape(pfeat.shape[1], ny, nx)
+    return canvas[:-1].reshape(ny, nx, pfeat.shape[1])
 
 
-def _conv(x, w, stride=1, padding=1):
+def _conv(x, w, stride=1, padding=1, out_chw=False):
+    """NHWC conv with the torch OIHW kernel layout (checkpoint contract).
+
+    NHWC is the TPU-native conv layout (channels on lanes); the old NCHW
+    path paid layout-assignment copies around every stage. `out_chw`
+    emits NCHW instead — used by the head's 1x1 convs, whose few output
+    channels (12-72) would pad 2-10x as an NHWC minor dim while (c, h, w)
+    tiles cleanly."""
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding)] * 2,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NHWC", "OIHW", "NCHW" if out_chw else "NHWC"),
     )
 
 
@@ -569,10 +597,11 @@ def _deconv(x, w, stride):
     # the declared spec); the IOHW/False form convolves with the kernel
     # spatially mirrored and breaks .pth checkpoint parity for k > 1
     # (verified bit-exact against torch.nn.functional.conv_transpose2d —
-    # tests/test_pointpillars.py::test_deconv_matches_torch).
+    # tests/test_pointpillars.py::test_deconv_matches_torch). IO rides NHWC
+    # (TPU-native); the kernel spec stays OIHW.
     return jax.lax.conv_transpose(
         x, w.astype(x.dtype), (stride, stride), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), transpose_kernel=True,
+        dimension_numbers=("NHWC", "OIHW", "NHWC"), transpose_kernel=True,
     )
 
 
@@ -580,19 +609,20 @@ def backbone_forward(spatial, params, cfg: PointPillarsConfig, *,
                      train=False, stats=None):
     """BaseBEVBackbone: stages of stride-s conv + n 3x3 convs, each stage
     upsampled back to stride `feature_map_stride` and channel-concat.
-    Accepts (C, ny, nx) single-frame or (B, C, ny, nx) batched input."""
+    Accepts (ny, nx, C) single-frame or (B, ny, nx, C) batched NHWC input;
+    returns (B, H, W, sum(num_upsample_filters)) NHWC."""
     x = spatial[None] if spatial.ndim == 3 else spatial
     ups = []
     for i, (n, s) in enumerate(zip(cfg.layer_nums, cfg.layer_strides)):
         # pcdet pads with ZeroPad2d(1) then convs with padding=0: same as
         # a padding-1 strided conv
         x = _conv(x, params[f"backbone_2d.blocks.{i}.1.weight"], stride=s)
-        x = _bn(x, params, f"backbone_2d.blocks.{i}.2", axis=1,
+        x = _bn(x, params, f"backbone_2d.blocks.{i}.2",
                 train=train, stats=stats)
         x = jax.nn.relu(x)
         for j in range(n):
             x = _conv(x, params[f"backbone_2d.blocks.{i}.{3 * j + 4}.weight"])
-            x = _bn(x, params, f"backbone_2d.blocks.{i}.{3 * j + 5}", axis=1,
+            x = _bn(x, params, f"backbone_2d.blocks.{i}.{3 * j + 5}",
                     train=train, stats=stats)
             x = jax.nn.relu(x)
         u = cfg.upsample_strides[i]
@@ -602,31 +632,45 @@ def backbone_forward(spatial, params, cfg: PointPillarsConfig, *,
         else:
             k = int(round(1 / u))
             y = _conv(x, w, stride=k, padding=0)
-        y = _bn(y, params, f"backbone_2d.deblocks.{i}.1", axis=1,
+        y = _bn(y, params, f"backbone_2d.deblocks.{i}.1",
                 train=train, stats=stats)
         ups.append(jax.nn.relu(y))
-    return jnp.concatenate(ups, axis=1)                    # (B, 384, H, W)
+    return jnp.concatenate(ups, axis=-1)               # (B, H, W, 384)
+
+
+def head_forward_chw(feat, params, cfg: PointPillarsConfig):
+    """AnchorHeadSingle 1x1 convs, CHANNEL-MAJOR outputs: (B, A*c, H, W)
+    f32 per head. The inference path consumes these directly — any
+    (H*W*A, c) flattening materializes a ~321k-row array whose tiny minor
+    dim pads up to 42x under (8, 128) HBM tiling (~5 ms/step measured at
+    batch 4; the repo-wide "never put a small K on the minor dim" rule)."""
+    outs = []
+    for name in ("conv_cls", "conv_box", "conv_dir_cls"):
+        y = _conv(feat, params[f"dense_head.{name}.weight"], padding=0,
+                  out_chw=True)
+        y = y + params[f"dense_head.{name}.bias"].astype(y.dtype)[
+            None, :, None, None
+        ]
+        outs.append(y.astype(jnp.float32))
+    return tuple(outs)
 
 
 def head_forward(feat, params, cfg: PointPillarsConfig, *, batched=False):
     """AnchorHeadSingle 1x1 convs -> (H, W, A, {ncls, 7, nbins}) per frame
-    ((B, ...) with batched=True)."""
-    h, w = feat.shape[2], feat.shape[3]
+    ((B, ...) with batched=True) — pcdet's NCHW->NHWC permute layout (the
+    training/golden contract; inference uses head_forward_chw)."""
     b = feat.shape[0]
+    h, w = feat.shape[1], feat.shape[2]
     a = cfg.num_anchors_per_loc
     ncls = len(cfg.class_names)
+    cls_c, box_c, dir_c = head_forward_chw(feat, params, cfg)
 
-    def conv1(name):
-        y = _conv(feat, params[f"dense_head.{name}.weight"], padding=0)
-        y = y + params[f"dense_head.{name}.bias"].astype(y.dtype)[
-            None, :, None, None
-        ]
-        # pcdet permutes NCHW -> NHWC before flattening
-        return jnp.transpose(y, (0, 2, 3, 1)).astype(jnp.float32)
+    def nhwc(y):
+        return jnp.transpose(y, (0, 2, 3, 1))
 
-    cls = conv1("conv_cls").reshape(b, h, w, a, ncls)
-    box = conv1("conv_box").reshape(b, h, w, a, 7)
-    dir_ = conv1("conv_dir_cls").reshape(b, h, w, a, cfg.num_dir_bins)
+    cls = nhwc(cls_c).reshape(b, h, w, a, ncls)
+    box = nhwc(box_c).reshape(b, h, w, a, 7)
+    dir_ = nhwc(dir_c).reshape(b, h, w, a, cfg.num_dir_bins)
     if not batched:
         return cls[0], box[0], dir_[0]
     return cls, box, dir_
@@ -715,26 +759,45 @@ class Predictions(NamedTuple):
     nms_pre_overflow: Any = 0
 
 
-def forward_features(points, valid, params, cfg: PointPillarsConfig):
-    """points (N, 4) -> (cls, box, dir) feature-map predictions + vox."""
+def _features_bev(points, valid, params, cfg: PointPillarsConfig):
+    """(N, 4) cloud -> ((1, H, W, C) NHWC backbone output, vox)."""
     vox = voxelize(points, valid, cfg)
     feat = pillar_features(vox, cfg)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     pfeat = pfn_forward(feat.astype(dtype), params, cfg)
     live = (jnp.arange(cfg.max_pillars) < vox.num_pillars)[:, None]
     spatial = scatter_bev(pfeat * live.astype(pfeat.dtype), vox, cfg)
-    bev = backbone_forward(spatial, params, cfg)
+    return backbone_forward(spatial, params, cfg), vox
+
+
+def forward_features(points, valid, params, cfg: PointPillarsConfig):
+    """points (N, 4) -> (cls, box, dir) feature-map predictions + vox
+    ((H, W, A, c) pcdet layout — the golden/training contract)."""
+    bev, vox = _features_bev(points, valid, params, cfg)
     cls, box, dir_ = head_forward(bev, params, cfg)
     return cls, box, dir_, vox
 
 
-def post_process(cls, box, dir_, anchors, cfg: PointPillarsConfig):
+def post_process(cls_c, box_c, dir_c, anchors, cfg: PointPillarsConfig):
     """Sigmoid scores -> class-agnostic rotated NMS (pcdet post_processing
     with MULTI_CLASSES_NMS False): per-anchor best class, score threshold,
-    top `nms_pre_max`, rotated NMS at `nms_thresh`, keep `nms_post_max`."""
-    scores_all = jax.nn.sigmoid(cls.reshape(-1, cls.shape[-1]))
-    scores = jnp.max(scores_all, axis=-1)
-    labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32) + 1
+    top `nms_pre_max`, rotated NMS at `nms_thresh`, keep `nms_post_max`.
+
+    Inputs are CHANNEL-MAJOR single-frame head outputs from
+    `head_forward_chw` — (A*ncls, H, W) / (A*7, H, W) / (A*nbins, H, W) —
+    and the (H, W, A, 7) anchor grid. Everything at anchor scale (~321k)
+    stays (a, h, w)-shaped (clean (8, 128) tiling); per-candidate rows are
+    gathered only at top-k scale. Flat anchor indices are (a, y, x)-order;
+    vs the old (y, x, a) order this permutes tie-breaking among EQUAL
+    scores only (real scores are continuous; masked-out entries never pass
+    the validity gate)."""
+    a = cfg.num_anchors_per_loc
+    ncls = len(cfg.class_names)
+    h, w = cls_c.shape[1], cls_c.shape[2]
+
+    cls4 = cls_c.reshape(a, ncls, h, w)
+    # per-anchor best class: sigmoid is monotone, so reduce logits first
+    scores = jax.nn.sigmoid(jnp.max(cls4, axis=1)).reshape(-1)  # (a*h*w,)
 
     ok = scores > cfg.score_thresh
     pre_overflow = jnp.maximum(
@@ -751,13 +814,23 @@ def post_process(cls, box, dir_, anchors, cfg: PointPillarsConfig):
     top_scores = masked[top_ix]
     top_valid = top_scores > cfg.score_thresh
 
-    # decode ONLY the selected rows (elementwise decode of all ~320k
-    # anchors is pure wasted HBM traffic on the 99.7% that never reach NMS)
+    # decode/classify ONLY the selected rows (k-row gathers; elementwise
+    # work on all ~320k anchors is wasted HBM traffic on the 99.7% that
+    # never reach NMS, and flattening to (321k, small) pads up to 42x)
+    a_ix = top_ix // (h * w)
+    rem = top_ix % (h * w)
+    y_ix = rem // w
+    x_ix = rem % w
+    labels = jnp.argmax(
+        cls4[a_ix, :, y_ix, x_ix], axis=-1
+    ).astype(jnp.int32) + 1
     boxes = decode_boxes(
-        box.reshape(-1, 7)[top_ix], anchors.reshape(-1, 7)[top_ix]
+        box_c.reshape(a, 7, h, w)[a_ix, :, y_ix, x_ix],
+        anchors[y_ix, x_ix, a_ix],
     )
     dir_labels = jnp.argmax(
-        dir_.reshape(-1, cfg.num_dir_bins)[top_ix], axis=-1
+        dir_c.reshape(a, cfg.num_dir_bins, h, w)[a_ix, :, y_ix, x_ix],
+        axis=-1,
     )
     period = 2 * math.pi / cfg.num_dir_bins
     rot = limit_period(
@@ -774,7 +847,7 @@ def post_process(cls, box, dir_, anchors, cfg: PointPillarsConfig):
     return Predictions(
         boxes=jnp.where(kmask[:, None], top_boxes[sel], 0.0),
         scores=jnp.where(kmask, top_scores[sel], 0.0),
-        labels=jnp.where(kmask, labels[top_ix][sel], 0),
+        labels=jnp.where(kmask, labels[sel], 0),
         count=count.astype(jnp.int32),
         nms_pre_overflow=pre_overflow,
     )
@@ -786,8 +859,9 @@ def detect(points, valid, params, anchors, cfg: PointPillarsConfig):
     The (K, 9) array the viewer renders (`pointcloud_viewer.py:2428-2433`:
     [box7, label, score]) is `predictions_array(preds)` of this output.
     """
-    cls, box, dir_, vox = forward_features(points, valid, params, cfg)
-    preds = post_process(cls, box, dir_, anchors, cfg)
+    bev, vox = _features_bev(points, valid, params, cfg)
+    cls_c, box_c, dir_c = head_forward_chw(bev, params, cfg)
+    preds = post_process(cls_c[0], box_c[0], dir_c[0], anchors, cfg)
     return preds._replace(
         points_dropped=vox.points_dropped,
         pillars_dropped=vox.pillars_dropped,

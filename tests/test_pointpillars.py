@@ -291,5 +291,8 @@ def test_deconv_matches_torch(stride, cin, cout):
     want = torch.nn.functional.conv_transpose2d(
         torch.from_numpy(x), torch.from_numpy(w), stride=stride
     ).numpy()
-    got = np.asarray(pp._deconv(jnp.asarray(x), jnp.asarray(w), stride))
+    # _deconv IO is NHWC (TPU-native); the kernel layout stays torch OIHW
+    got = np.asarray(pp._deconv(
+        jnp.asarray(x).transpose(0, 2, 3, 1), jnp.asarray(w), stride
+    )).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=1e-5)
