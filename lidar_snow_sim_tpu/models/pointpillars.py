@@ -88,6 +88,18 @@ class PointPillarsConfig:
     # compute dtype for the conv backbone ("float32" | "bfloat16"); bf16
     # feeds the MXU at 2x, outputs/decodes stay f32
     compute_dtype: str = "float32"
+    # build the (V, P, 4) pillar buffer by GATHERING sorted-run windows
+    # instead of four n-update f32 scatters (bit-identical either way).
+    # MEASURED SLOWER on chip (round 5, same-session interleaved A/B at
+    # batch 4: 53.0 vs 34.8 ms/step) — the (4, V*P)-cell column gather
+    # costs more than the four n-update scatters it replaces. Kept as an
+    # A/B arm (tools/ab.py detect 'g=pillar_gather:1').
+    pillar_gather: bool = False
+    # bitcast-pack bf16 canvas updates to i32 pairs before the BEV row
+    # scatter (halves scattered cells; bit-identical). MEASURED a wash-to-
+    # slightly-worse (round 5 A/B: 56.2 vs 53.0 ms/step, ~1x spread) —
+    # the scatter is per-update-row-bound, not per-cell-bound, at V=12k.
+    bev_packed: bool = False
 
     @property
     def grid_size(self) -> tuple:
@@ -388,17 +400,6 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     num_pillars = jnp.minimum(n_pillars_total, vmax)
     pillars_dropped = n_pillars_total - num_pillars
 
-    # four 1-D unique scatters instead of one (N, 4) row scatter (ledger:
-    # row scatters pay per cell with a padded minor dim; 1-D is ~2x)
-    slot = jnp.where(ok, vrank * pmax + within, vmax * pmax)
-    cols = []
-    for c in (c0, c1, c2, c3):
-        col = jnp.zeros((vmax * pmax + 1,), points.dtype).at[slot].set(
-            jnp.where(ok, c, 0.0), mode="drop"
-        )
-        cols.append(col[:-1])
-    pillars = jnp.stack(cols, axis=-1).reshape(vmax, pmax, 4)
-
     # per-pillar counts = min(run length, pmax) at the heads (every point
     # of a real-vid run is valid — invalid points carry the sentinel vid
     # and cluster in the final run). Run length = next boundary - head pos,
@@ -411,35 +412,78 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     )
     rlen = jnp.minimum(next_boundary - pos, pmax)
 
-    # coords + counts ride ONE packed i32 scatter when (svid, rlen) fit 31
-    # bits (TPU scatter cost scales with the UPDATE COUNT, near-serial per
-    # row — four n-update scatters here were ~4.8 ms/step at batch 4 on
-    # chip, one is ~1.2): packed = svid << b | rlen, b = bits(pmax).
-    # Unwritten slots default to 0 -> svid 0, count 0 — the same benign
-    # values the separate scatters produced. Lossless by construction
-    # (svid < nz*ny*nx, rlen <= pmax); falls back to per-column scatters
-    # when the static bit budget doesn't fit (huge grids).
     rbits = pmax.bit_length()  # rlen in [0, pmax]
-    if nz * ny * nx <= ((1 << 31) - 1) >> rbits:
+    if cfg.pillar_gather and n <= ((1 << 31) - 1) >> rbits:
+        # ONE packed (head position, run length) i32 scatter replaces BOTH
+        # the four n-update f32 pillar-column scatters (~1.2 ms EACH at
+        # batch 4 on chip — scatter cost scales with update count, near-
+        # serial per row) and the separate coords/counts scatter. Pillars
+        # are then GATHERED from the sorted columns: runs are contiguous in
+        # sorted order, so pillar v slot p is sorted position
+        # startpos[v] + p (p < counts[v]) — bit-identical to the scatter
+        # path by construction (same points, zeros elsewhere; unwritten
+        # slots decode to startpos 0 / count 0, so every consumer mask
+        # sees the same benign values). Coords come from one vmax-scale
+        # gather of the sorted vid plane at the head positions.
         packed = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-            jnp.where(hsel, (svid << rbits) | rlen, 0), mode="drop"
+            jnp.where(hsel, (pos << rbits) | rlen, 0), mode="drop"
         )[:-1]
-        pvid = packed >> rbits
+        startpos = packed >> rbits
         counts = packed & ((1 << rbits) - 1)
+        written = counts > 0  # hsel heads always have rlen >= 1
+        pvid = jnp.where(written, svid[startpos], 0)
         coords = jnp.stack(
             [pvid // (nx * ny), (pvid // nx) % ny, pvid % nx], axis=-1
         )
+        p_iota = jnp.arange(pmax, dtype=jnp.int32)[None, :]
+        gidx = startpos[:, None] + p_iota                    # (V, P)
+        gflat = jnp.where(p_iota < counts[:, None], gidx, n).reshape(-1)
+        # one fused 4-row column gather (per-cell cost) with a zero
+        # sentinel column at index n for dead slots
+        cols4 = jnp.pad(
+            jnp.stack([c0, c1, c2, c3], axis=0), ((0, 0), (0, 1))
+        )                                                    # (4, n + 1)
+        pillars = jnp.transpose(
+            cols4[:, gflat].reshape(4, vmax, pmax), (1, 2, 0)
+        )
     else:
-        ccols = []
-        for c in (svid // (nx * ny), (svid // nx) % ny, svid % nx):
-            col = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-                jnp.where(hsel, c.astype(jnp.int32), 0), mode="drop"
+        # scatter fallback (and A/B arm): four 1-D unique scatters instead
+        # of one (N, 4) row scatter (row scatters pay per cell with a
+        # padded minor dim; 1-D is ~2x)
+        slot = jnp.where(ok, vrank * pmax + within, vmax * pmax)
+        cols = []
+        for c in (c0, c1, c2, c3):
+            col = jnp.zeros((vmax * pmax + 1,), points.dtype).at[slot].set(
+                jnp.where(ok, c, 0.0), mode="drop"
             )
-            ccols.append(col[:-1])
-        coords = jnp.stack(ccols, axis=-1)
-        counts = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-            jnp.where(hsel, rlen, 0), mode="drop"
-        )[:-1]
+            cols.append(col[:-1])
+        pillars = jnp.stack(cols, axis=-1).reshape(vmax, pmax, 4)
+
+        # coords + counts ride ONE packed i32 scatter when (svid, rlen)
+        # fit 31 bits: packed = svid << b | rlen, b = bits(pmax).
+        # Unwritten slots default to 0 -> svid 0, count 0. Lossless by
+        # construction (svid < nz*ny*nx, rlen <= pmax); falls back to
+        # per-column scatters when the static bit budget doesn't fit.
+        if nz * ny * nx <= ((1 << 31) - 1) >> rbits:
+            packed = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+                jnp.where(hsel, (svid << rbits) | rlen, 0), mode="drop"
+            )[:-1]
+            pvid = packed >> rbits
+            counts = packed & ((1 << rbits) - 1)
+            coords = jnp.stack(
+                [pvid // (nx * ny), (pvid // nx) % ny, pvid % nx], axis=-1
+            )
+        else:
+            ccols = []
+            for c in (svid // (nx * ny), (svid // nx) % ny, svid % nx):
+                col = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+                    jnp.where(hsel, c.astype(jnp.int32), 0), mode="drop"
+                )
+                ccols.append(col[:-1])
+            coords = jnp.stack(ccols, axis=-1)
+            counts = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
+                jnp.where(hsel, rlen, 0), mode="drop"
+            )[:-1]
 
     return VoxelizeResult(
         pillars=pillars,
@@ -561,18 +605,32 @@ def scatter_bev(pfeat, vox, cfg: PointPillarsConfig):
 
     NHWC output: the canvas scatter's natural (ny*nx, C) layout IS the
     conv input layout, so no transpose copy — the old (C, ny, nx) emit
-    paid a full-canvas layout copy (~0.9 ms/step at batch 4 on chip)."""
+    paid a full-canvas layout copy (~0.9 ms/step at batch 4 on chip).
+    Dead pillars scatter to the out-of-bounds row ny*nx and are DROPPED
+    (mode="drop") — no sentinel row, so no post-scatter slice copy. With
+    cfg.bev_packed, bf16 feature pairs are bitcast-packed to i32 before
+    the scatter (half the scattered cells, bit-identical on unpack)."""
     nx, ny, _ = cfg.grid_size
-    v = pfeat.shape[0]
+    v, c = pfeat.shape
     live = jnp.arange(v) < vox.num_pillars
     flat_ix = jnp.where(
         live, vox.coords[:, 1] * nx + vox.coords[:, 2], ny * nx
     )
-    canvas = jnp.zeros((ny * nx + 1, pfeat.shape[1]), pfeat.dtype)
-    canvas = canvas.at[flat_ix].set(
-        jnp.where(live[:, None], pfeat, 0.0), mode="drop"
+    upd = jnp.where(live[:, None], pfeat, 0)
+    if cfg.bev_packed and pfeat.dtype == jnp.bfloat16 and c % 2 == 0:
+        upd_i = jax.lax.bitcast_convert_type(
+            upd.reshape(v, c // 2, 2), jnp.int32
+        )
+        canvas = jnp.zeros((ny * nx, c // 2), jnp.int32).at[flat_ix].set(
+            upd_i, mode="drop"
+        )
+        return jax.lax.bitcast_convert_type(
+            canvas, jnp.bfloat16
+        ).reshape(ny, nx, c)
+    canvas = jnp.zeros((ny * nx, c), pfeat.dtype).at[flat_ix].set(
+        upd, mode="drop"
     )
-    return canvas[:-1].reshape(ny, nx, pfeat.shape[1])
+    return canvas.reshape(ny, nx, c)
 
 
 def _conv(x, w, stride=1, padding=1, out_chw=False):

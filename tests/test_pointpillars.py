@@ -296,3 +296,41 @@ def test_deconv_matches_torch(stride, cin, cout):
         jnp.asarray(x).transpose(0, 2, 3, 1), jnp.asarray(w), stride
     )).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_voxelize_gather_matches_scatter_and_packed_bev():
+    """The gather-built pillar buffer (cfg.pillar_gather, one packed i32
+    scatter + sorted-run gathers) must be BIT-identical to the scatter
+    path on every VoxelizeResult leaf — including under pillar/point
+    drops — and the bitcast-packed BEV canvas (cfg.bev_packed) identical
+    to the plain bf16 row scatter. These are the layout-only perf paths
+    of the detector engine (perf ledger, round 5)."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(0, 70, n)
+    pts[:, 1] = rng.uniform(-40, 40, n)
+    pts[:, 2] = rng.uniform(-3, 1, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    valid = rng.random(n) > 0.1
+    # tiny caps force both drop counters to be nonzero
+    cfg_g = dataclasses.replace(
+        pp.PointPillarsConfig(), max_pillars=512, max_points_per_pillar=4,
+        compute_dtype="bfloat16",
+    )
+    cfg_s = dataclasses.replace(cfg_g, pillar_gather=False, bev_packed=False)
+    vg = pp.voxelize(jnp.asarray(pts), jnp.asarray(valid), cfg_g)
+    vs = pp.voxelize(jnp.asarray(pts), jnp.asarray(valid), cfg_s)
+    assert int(vg.points_dropped) > 0 and int(vg.pillars_dropped) > 0
+    for f in vg._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(vg, f)), np.asarray(getattr(vs, f)), err_msg=f
+        )
+    pf = jnp.asarray(rng.standard_normal((512, 64)), jnp.bfloat16)
+    bg = pp.scatter_bev(pf, vg, cfg_g)
+    bs = pp.scatter_bev(pf, vs, cfg_s)
+    np.testing.assert_array_equal(
+        np.asarray(bg, np.float32), np.asarray(bs, np.float32)
+    )
