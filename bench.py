@@ -465,7 +465,12 @@ def main():
 
         from lidar_snow_sim_tpu.models.lisa import LISA
 
-        l = LISA()
+        # capacities sized for zero droplet overflow on the bench cloud at
+        # Rr=10 (probed round 5; the library default (32, 8) is smaller —
+        # the host wrapper self-tunes, but a benched arm with a nonzero
+        # overflow count did less work than a valid run and is INVALID,
+        # so the bench runs the grown shape directly and reports the count)
+        l = LISA(max_droplets=48, tail_droplets=16)
         grids = l._dsd_tables(10.0)
         l_alpha = jnp.float32(l.alpha(10.0))
         l_dens = jnp.float32(l.droplet_density(10.0))
@@ -478,9 +483,17 @@ def main():
                 )
             )(c, k)
             return (jnp.sum(res.num_scattered).astype(jnp.float32)
+                    + jnp.sum(res.droplet_overflow).astype(jnp.float32)
                     + res.points.sum() * jnp.float32(1e-30))
 
         out["lisa_rain10mmh"] = slope(lisa_step, lisa_carry)
+        res0 = jax.vmap(
+            lambda p, kk: l._augment_core(p, msk0, kk, l_alpha, l_dens,
+                                          *grids)
+        )(lisa_carry, jax.vmap(jax.random.PRNGKey)(jnp.arange(batch)))
+        out["lisa_rain10mmh"]["droplet_overflows"] = int(
+            jnp.sum(res0.droplet_overflow)
+        )
 
         from lidar_snow_sim_tpu.models.fog import FogParameterSet, fog_augment
 

@@ -86,6 +86,7 @@ class LISA:
         dsd_points: int = 128,
         fog_preset: str = "strong_advection",
         show_progressbar: bool = False,
+        mxu_lookup: str = "auto",
     ):
         self.wavelength = wavelength
         self.mode = mode
@@ -123,6 +124,18 @@ class LISA:
         # ms/scan at bench scale before this, ~350x the fog kernel)
         self._log_d0 = math.log(d_lo)
         self._inv_dlog = (dsd_points - 1) / math.log(d_hi / d_lo)
+        # the ~21M-index Mie lookup rides a Pallas one-hot-MXU kernel on
+        # TPU (XLA's gather pays ~1.8 ns PER ROW — 38+15 ms/step at bench
+        # shapes, 70% of the whole kernel; measured round 5, BASELINE.md);
+        # results agree with the XLA pairs path within 1 ULP (FMA fusion).
+        # "auto" = TPU only (<=128 knots); True forces the interpreted
+        # kernel off-TPU (tests); False keeps the XLA gather.
+        if mxu_lookup == "auto":
+            self._mxu_lookup = (
+                jax.default_backend() == "tpu" and dsd_points <= 128
+            )
+        else:
+            self._mxu_lookup = bool(mxu_lookup) and dsd_points <= 128
         self._jit_augment = jax.jit(self._augment_core)
 
     # ---- particle-size distributions (exponential family) ----
@@ -215,17 +228,16 @@ class LISA:
         - (lam, e_lo, e_span): the truncated-exponential inverse CDF of the
           precipitation DSDs is analytic, D(q) = -ln(e_lo − q·e_span)/Λ
           over [d_lo, d_hi] — exact, no table at all (zeros for fog);
-        - inv_knots (Q+1,): for the fog modified-gamma DSD, a host-baked
-          uniform-quantile inverse-CDF knot table (knot i sits at q = i/Q;
-          two 1-D gathers + lerp replace the searchsorted);
-        - qb (G,): Qback knots on the geomspace grid — uniform in log(D),
-          so the bracketing cell is index arithmetic. FLAT tables, not
-          (G−1, 2) knot-pair rows: a row gather's (..., 2) output puts a
-          tiny minor dim on HBM tiles (up to 64× padding under (8, 128)
-          tiling — perf ledger) where two 1-D gathers write clean planes;
-        - caps (2, G): cummax(Qback) and cummax(Qback·D²) knots for the
-          residual-droplet power bound (any droplet with D ≤ Dm satisfies
-          Qback·occl ≤ min(cummax_q(Dm), cummax_qd2(Dm)/w(r)²))."""
+        - inv_pairs (Q, 2): for the fog modified-gamma DSD, a host-baked
+          uniform-quantile inverse-CDF table (knot i covers q ∈
+          [i/Q, (i+1)/Q]; rows are (D(qᵢ), D(qᵢ₊₁)) so one row gather +
+          lerp replaces the searchsorted);
+        - qb_pairs (G−1, 2): Qback knot pairs on the geomspace grid —
+          uniform in log(D), so the bracketing cell is index arithmetic;
+        - cap_pairs (G−1, 4): knot pairs of cummax(Qback) and
+          cummax(Qback·D²) for the residual-droplet power bound (any
+          droplet with D ≤ Dm satisfies Qback·occl ≤ min(cummax_q(Dm),
+          cummax_qd2(Dm)/w(r)²))."""
         lam = self._dsd_lambda(Rr)
         if lam is None:
             nd = self.Nd(self._d_grid, Rr)
@@ -234,56 +246,71 @@ class LISA:
             )])
             cdf /= cdf[-1]
             q = np.linspace(0.0, 1.0, 513)
-            inv_knots = np.interp(q, cdf, self._d_grid)
+            inv = np.interp(q, cdf, self._d_grid)
+            inv_pairs = np.column_stack([inv[:-1], inv[1:]])
             lam, e_lo, e_span = 1.0, 0.0, 0.0
         else:
             d_lo, d_hi = float(self._d_grid[0]), float(self._d_grid[-1])
             e_lo = math.exp(-lam * d_lo)
             e_span = e_lo - math.exp(-lam * d_hi)
-            inv_knots = np.zeros((2,))
+            inv_pairs = np.zeros((1, 2))
         qb = self._qback
         qmax = np.maximum.accumulate(qb)
         qd2 = np.maximum.accumulate(qb * self._d_grid**2)
+        qb_pairs = np.column_stack([qb[:-1], qb[1:]])
+        if self._mxu_lookup:
+            from lidar_snow_sim_tpu.ops.lut_lookup import bake_parts_table
+
+            qb_parts = bake_parts_table(qb_pairs)
+        else:
+            qb_parts = np.zeros((8, 128), jnp.bfloat16)
         return (
             jnp.float32(lam),
             jnp.float32(e_lo),
             jnp.float32(e_span),
-            jnp.asarray(inv_knots, jnp.float32),
-            jnp.asarray(qb, jnp.float32),
-            jnp.asarray(np.stack([qmax, qd2], axis=0), jnp.float32),
+            jnp.asarray(inv_pairs, jnp.float32),
+            jnp.asarray(qb_pairs, jnp.float32),
+            jnp.asarray(
+                np.column_stack([qmax[:-1], qmax[1:], qd2[:-1], qd2[1:]]),
+                jnp.float32,
+            ),
+            jnp.asarray(qb_parts, jnp.bfloat16),
         )
 
     # ---- fused augmentation kernel ----
 
     def _augment_core(self, points, mask, key, alpha, density,
-                      lam_dsd, e_lo, e_span, inv_knots, qb_flat, cap_flat):
+                      lam_dsd, e_lo, e_span, inv_pairs, qb_pairs, cap_pairs,
+                      qb_parts):
         """points carry intensity on the LISA-normalized [0, 1] scale.
 
-        Table args come from _dsd_tables; every lookup is index arithmetic
-        + 1-D gathers from FLAT knot tables (no searchsorted, no knot-pair
-        row gathers — see _dsd_tables). All per-droplet intermediates are
-        PLANE-MAJOR (k, n): a trailing droplet axis would be the HBM
-        minormost dim and pad 128/k under (8, 128) tiling (perf ledger)."""
+        Table args come from _dsd_tables; every lookup here is index
+        arithmetic + one row gather (no searchsorted — see _dsd_tables),
+        and the hot (n, k1+k2) Qback lookup rides the Pallas one-hot-MXU
+        kernel (ops/lut_lookup.py) when self._mxu_lookup."""
         gm1 = float(self._d_grid.size - 1)
 
-        def mie_lookup(flat, d_mm):
-            """Lerp a flat knot table at diameter d_mm [mm] (knots are
-            uniform in log D, so the cell is index arithmetic)."""
+        def mie_lookup(pairs, d_mm):
+            """Lerp packed knot-pair rows at diameter d_mm [mm]: pairs row i
+            holds (y_i..., y_{i+1}...) interleaved on the log-uniform grid;
+            returns one value per pair of columns."""
             p = jnp.clip(
                 (jnp.log(d_mm) - self._log_d0) * self._inv_dlog, 0.0, gm1
             )
             i = jnp.minimum(p.astype(jnp.int32), int(gm1) - 1)
-            f = p - i.astype(jnp.float32)
-            return flat[i] * (1.0 - f) + flat[i + 1] * f
+            f = (p - i.astype(jnp.float32))[..., None]
+            rows = pairs[i]
+            return rows[..., 0::2] * (1.0 - f) + rows[..., 1::2] * f
 
         if self.mode == "fog":
-            nq = inv_knots.shape[0] - 1
+            nq = inv_pairs.shape[0]
 
             def dsd_inv_cdf(q):
                 p = jnp.clip(q, 0.0, 1.0) * nq
                 i = jnp.minimum(p.astype(jnp.int32), nq - 1)
                 f = p - i.astype(jnp.float32)
-                return inv_knots[i] * (1.0 - f) + inv_knots[i + 1] * f
+                rows = inv_pairs[i]
+                return rows[..., 0] * (1.0 - f) + rows[..., 1] * f
         else:
 
             def dsd_inv_cdf(q):
@@ -315,33 +342,44 @@ class LISA:
         # unit-rate Poisson process in u·λ: the i-th nearest sits at
         # Uᵢ = Gᵢ/λ (Gᵢ = cumsum of Exp(1)) and exists iff Gᵢ < λ. This is
         # an exact sample of the near population — NOT a clamped subsample.
-        g = jnp.cumsum(jax.random.exponential(kc, (k1, n)), axis=0)
-        t1 = g / jnp.maximum(lam[None, :], 1e-30)
+        g = jnp.cumsum(jax.random.exponential(kc, (n, k1)), axis=1)
+        t1 = g / jnp.maximum(lam[:, None], 1e-30)
         live1 = t1 < 1.0
         r1 = jnp.maximum(
-            d[None, :] * jnp.minimum(t1, 1.0) ** (1.0 / 3.0), self.r_min
+            d[:, None] * jnp.minimum(t1, 1.0) ** (1.0 / 3.0), self.r_min
         )
-        q1 = jax.random.uniform(kd, (k1, n))
+        q1 = jax.random.uniform(kd, (n, k1))
         dmm1 = dsd_inv_cdf(q1)                  # diameters ~ DSD, iid
 
         # --- the k2 LARGEST-DIAMETER droplets of the residual population
         # (r beyond the k1-th nearest): diameter order statistics via the
         # DSD inverse CDF at quantile 1 − Hⱼ/λ_res; positions iid uniform in
         # the residual cone shell (position ⊥ diameter).
-        t_last = jnp.minimum(t1[-1], 1.0)
+        t_last = jnp.minimum(t1[:, -1], 1.0)
         lam_res = lam * (1.0 - t_last)          # E[#droplets beyond slot k1]
-        h = jnp.cumsum(jax.random.exponential(kt, (k2, n)), axis=0)
-        u2 = h / jnp.maximum(lam_res[None, :], 1e-30)
-        live2 = live1[-1:] & (u2 < 1.0)
+        h = jnp.cumsum(jax.random.exponential(kt, (n, k2)), axis=1)
+        u2 = h / jnp.maximum(lam_res[:, None], 1e-30)
+        live2 = live1[:, -1:] & (u2 < 1.0)
         dmm2 = dsd_inv_cdf(1.0 - u2)
-        v2 = jax.random.uniform(kp, (k2, n))
-        t2 = t_last[None, :] + (1.0 - t_last[None, :]) * v2
-        r2 = jnp.maximum(d[None, :] * t2 ** (1.0 / 3.0), self.r_min)
+        v2 = jax.random.uniform(kp, (n, k2))
+        t2 = t_last[:, None] + (1.0 - t_last[:, None]) * v2
+        r2 = jnp.maximum(d[:, None] * t2 ** (1.0 / 3.0), self.r_min)
 
-        r_drop = jnp.concatenate([r1, r2], axis=0)        # (k1+k2, n)
-        d_mm = jnp.concatenate([dmm1, dmm2], axis=0)
-        live = jnp.concatenate([live1, live2], axis=0)
-        qback = mie_lookup(qb_flat, d_mm)
+        r_drop = jnp.concatenate([r1, r2], axis=1)        # (n, k1+k2)
+        d_mm = jnp.concatenate([dmm1, dmm2], axis=1)
+        live = jnp.concatenate([live1, live2], axis=1)
+        if self._mxu_lookup:
+            from lidar_snow_sim_tpu.ops.lut_lookup import lut_lookup_pairs
+
+            pos = jnp.clip(
+                (jnp.log(d_mm) - self._log_d0) * self._inv_dlog, 0.0, gm1
+            )
+            qback = lut_lookup_pairs(
+                pos, qb_parts, int(gm1),
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            qback = mie_lookup(qb_pairs, d_mm)[..., 0]
 
         # droplet return: backscatter efficiency × beam-occlusion fraction,
         # two-way attenuated; occlusion = (D / beam width at r)² capped at 1
@@ -355,9 +393,17 @@ class LISA:
         # hard-target return, two-way attenuated
         p_hard = intensity * jnp.exp(-2.0 * alpha * d) / d**2
 
-        best = jnp.argmax(p_drop, axis=0)
-        p_best = jnp.take_along_axis(p_drop, best[None, :], axis=0)[0]
-        r_best = jnp.take_along_axis(r_drop, best[None, :], axis=0)[0]
+        # winner by two REDUCTIONS, not argmax + take_along_axis: TPU
+        # lowers take_along_axis to a batched 1-element gather at ~17 ns
+        # per row — 18.5 ms/step at bench shapes vs 0.2 for the masked
+        # reductions (round 5, BASELINE.md). On exact f32 power ties the
+        # nearer droplet wins (argmax picked the first slot; continuous
+        # powers make real ties measure-zero, and all-dead rows give
+        # p_best = 0 where r_best is never consumed).
+        p_best = jnp.max(p_drop, axis=1)
+        r_best = jnp.min(
+            jnp.where(p_drop == p_best[:, None], r_drop, jnp.inf), axis=1
+        )
 
         # --- residual power bound: every NON-sampled droplet has both
         # r > r_k1 (beyond the nearest set) and D < min(tail diameters), so
@@ -365,16 +411,16 @@ class LISA:
         # decreasing in r. If that bound can beat the current winner AND
         # clear the detection floor, the fixed capacity may have changed the
         # outcome — counted, never silent (host wrapper grows + reruns).
-        rk = r1[-1]
-        dm_tail = dmm2[-1]
-        q_cap = mie_lookup(cap_flat[0], dm_tail)
-        qd2_cap = mie_lookup(cap_flat[1], dm_tail)
+        rk = r1[:, -1]
+        dm_tail = dmm2[:, -1]
+        caps = mie_lookup(cap_pairs, dm_tail)
+        q_cap, qd2_cap = caps[..., 0], caps[..., 1]
         w_rk = 2.0 * rk * tan_h * 1e3
         p_bound = (
             jnp.minimum(q_cap, qd2_cap / jnp.maximum(w_rk, 1e-9) ** 2)
             * jnp.exp(-2.0 * alpha * rk) / rk**2
         )
-        residual_nonempty = live1[-1] & (u2[-1] < 1.0)
+        residual_nonempty = live1[:, -1] & (u2[:, -1] < 1.0)
         overflow = (
             residual_nonempty
             & (p_bound > jnp.maximum(p_best, p_hard))

@@ -607,3 +607,17 @@ def test_dror_precomputed_fallback(tmp_path):
     assert precomputed_snow_severity(
         tmp_path, "hdl64", "strongest", "missing.bin"
     ) == (-1, "file not found")
+
+
+def test_lisa_mxu_lookup_matches_xla_gather(cloud):
+    """The Pallas one-hot-MXU Mie lookup (ops/lut_lookup.py, the TPU hot
+    path) must agree with the XLA knot-pair gather within 1 ULP (FMA
+    fusion difference only) and preserve every contract field."""
+    l_x = LISA(dsd_points=64, mxu_lookup=False)
+    l_m = LISA(dsd_points=64, mxu_lookup=True)   # interpreted kernel on CPU
+    a_x = l_x.augment(cloud, 10.0, fixed_seed=True)
+    a_m = l_m.augment(cloud, 10.0, fixed_seed=True)
+    # labels may flip only where a 1-ULP qback difference crosses an exact
+    # decision boundary — none observed on this cloud
+    np.testing.assert_array_equal(a_x[:, 4], a_m[:, 4])
+    np.testing.assert_allclose(a_m, a_x, rtol=1e-5, atol=1e-5)
