@@ -525,13 +525,18 @@ def main():
         from lidar_snow_sim_tpu.models.dror import _dror_kernel_windowed
 
         def dror_step(c, k):
-            # DROR consumes no PRNG key: thread the key data in as an
-            # exact +0.0 so the loop body is NOT invariant (XLA's while-
-            # loop LICM would otherwise hoist the whole kernel)
-            eps0 = k[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
+            # DROR consumes no PRNG key: thread the key data in as a
+            # multiplicative (1 + key%2 * 1e-45) factor — bit-exact
+            # (1 + denormal rounds to 1.0) but UNFOLDABLE, so XLA's
+            # while-loop LICM cannot hoist the kernel. The previous
+            # "key * 0.0" guard IS foldable (u32->f32 provably finite)
+            # and was seen hoisted (round-5 ledger, BASELINE.md).
+            one = jnp.float32(1.0) + (
+                k[0].ravel()[0] % 2
+            ).astype(jnp.float32) * jnp.float32(1e-45)
             keep, ovf = jax.vmap(
                 lambda p: _dror_kernel_windowed(
-                    p[:, :3] + eps0, msk0, jnp.float32(_m.radians(0.45)),
+                    p[:, :3] * one, msk0, jnp.float32(_m.radians(0.45)),
                     jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04),
                     block=128, window=2048, margin=1024,
                 )
@@ -602,9 +607,12 @@ def main():
 
             def body(eps, _):
                 prm2 = dict(prm)
-                prm2[w0_name] = prm[w0_name] + eps.astype(
-                    prm[w0_name].dtype
-                ) * 0
+                # multiplicative hoist guard (see dror_step): bit-exact,
+                # unfoldable; the old "+ eps * 0" form is foldable
+                prm2[w0_name] = prm[w0_name] * (
+                    jnp.float32(1.0)
+                    + (eps % 2).astype(jnp.float32) * jnp.float32(1e-45)
+                )
                 out = vdet(pts, msk, prm2, anc)
                 dep = (jnp.sum(out.scores) + jnp.sum(out.boxes)
                        + jnp.sum(out.labels).astype(jnp.float32))

@@ -145,9 +145,15 @@ def make_runner(step, inputs, batch: int, key_base: int = 1000):
             keys_j = jax.vmap(lambda k: jax.random.fold_in(k, eps))(keys_i)
             dep, ovf = step(inputs, keys_j)
             nxt = eps + (dep * 0.0).astype(jnp.int32)
-            return nxt, ovf
-        _, ovfs = jax.lax.scan(body, jnp.int32(0), keys_stacked)
-        return ovfs
+            # dep is ALSO a live per-step OUTPUT: when every output leaf
+            # is bool/int, its sum is provably finite, `dep * 0.0` folds
+            # to 0, and with a constant ovf the whole body becomes dead —
+            # XLA DCE'd the full-N DROR arm this way (long-chain time ==
+            # short-chain time; it reported 1237 "scans/s"). A fetched
+            # output cannot be folded away. (Round-5 ledger, BASELINE.md.)
+            return nxt, (ovf, dep)
+        _, (ovfs, deps) = jax.lax.scan(body, jnp.int32(0), keys_stacked)
+        return ovfs, deps
 
     chain_j = jax.jit(chain)
 
@@ -157,7 +163,9 @@ def make_runner(step, inputs, batch: int, key_base: int = 1000):
              for i in range(n)]
         )
         t0 = time.time()
-        ovf = np.asarray(chain_j(inputs, ks))  # value fetch = completion
+        ovf, deps = chain_j(inputs, ks)
+        ovf = np.asarray(ovf)        # value fetch = completion
+        np.asarray(deps)
         return time.time() - t0, int(ovf.sum())
 
     return run
@@ -349,20 +357,27 @@ def build_dror_arms(variants: dict[str, dict]) -> dict[str, Arm]:
 
         def step(inputs, keys, window=window, margin=margin, block=block):
             p, m, a, b_, k_, s_ = inputs
-            # DROR consumes no PRNG key: thread the key data in as an exact
-            # +0.0 so XLA's while-loop LICM cannot hoist the kernel
-            eps0 = keys[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
+            # hoist guard: (key & 1) picks 0 or an f32 denormal; 1.0 +
+            # either rounds to EXACTLY 1.0 (inputs bit-identical), but the
+            # compiler cannot fold the data-dependent factor, so the body
+            # stays inside the loop. The previous "key * 0.0" guard IS
+            # foldable (u32->f32 is provably finite) and XLA hoisted the
+            # full-N arm's entire body once — long-chain time equalled
+            # short-chain time, the tell (round-5 ledger, BASELINE.md).
+            one = jnp.float32(1.0) + (
+                keys[0].ravel()[0] % 2
+            ).astype(jnp.float32) * jnp.float32(1e-45)
             if window:
                 keep, ovf = jax.vmap(
                     lambda pp: _dror_kernel_windowed(
-                        pp[:, :3] + eps0, m, a, b_, k_, s_,
+                        pp[:, :3] * one, m, a, b_, k_, s_,
                         block=block, window=window, margin=margin,
                     )
                 )(p)
                 return full_leaf_dep((keep, ovf)), jnp.sum(ovf)
             keep = jax.vmap(
                 lambda pp: _dror_kernel(
-                    pp[:, :3] + eps0, m, a, b_, k_, s_, block=block
+                    pp[:, :3] * one, m, a, b_, k_, s_, block=block
                 )
             )(p)
             return full_leaf_dep(keep), jnp.int32(0)
@@ -442,9 +457,13 @@ def build_detect_arms(variants: dict[str, dict]) -> dict[str, Arm]:
 
         def step(inputs, keys, det_cfg=det_cfg):
             pts, msk, prm, anc = inputs
-            eps0 = keys[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
+            # hoist guard — see build_dror_arms: "* (1 + key%2 * 1e-45)"
+            # is bit-exact but unfoldable; "+ key * 0.0" was foldable
+            one = jnp.float32(1.0) + (
+                keys[0].ravel()[0] % 2
+            ).astype(jnp.float32) * jnp.float32(1e-45)
             out = jax.vmap(
-                lambda p, m: pp.detect(p + eps0, m, prm, anc, det_cfg),
+                lambda p, m: pp.detect(p * one, m, prm, anc, det_cfg),
                 in_axes=(0, 0),
             )(pts, msk)
             return full_leaf_dep(out), jnp.sum(out.nms_pre_overflow)

@@ -138,10 +138,14 @@ def main(argv=None):
                 "anchors": jnp.asarray(pp.generate_anchors(det_cfg))}
 
         def vstep_raw(p, m, o, k, bk, c):
-            eps0 = k[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
+            # multiplicative hoist guard: bit-exact (1 + denormal rounds
+            # to 1.0) but unfoldable; "key * 0.0" IS foldable (round 5)
+            one = jnp.float32(1.0) + (
+                k[0].ravel()[0] % 2
+            ).astype(jnp.float32) * jnp.float32(1e-45)
             return jax.vmap(
                 lambda pt, mm: pp.detect(
-                    pt + eps0, mm, bk["params"], bk["anchors"], det_cfg
+                    pt * one, mm, bk["params"], bk["anchors"], det_cfg
                 )
             )(p, m)
     elif args.model == "dror":
@@ -150,10 +154,12 @@ def main(argv=None):
         from lidar_snow_sim_tpu.models.dror import _dror_kernel_windowed
 
         def vstep_raw(p, m, o, k, bk, c):
-            eps0 = k[0].ravel()[0].astype(jnp.float32) * jnp.float32(0.0)
+            one = jnp.float32(1.0) + (
+                k[0].ravel()[0] % 2
+            ).astype(jnp.float32) * jnp.float32(1e-45)
             keep, ovf = jax.vmap(
                 lambda pp: _dror_kernel_windowed(
-                    pp[:, :3] + eps0, msk0, jnp.float32(_m.radians(0.45)),
+                    pp[:, :3] * one, msk0, jnp.float32(_m.radians(0.45)),
                     jnp.float32(3.0), jnp.int32(3), jnp.float32(0.04),
                     block=128, window=2048, margin=1024,
                 )
