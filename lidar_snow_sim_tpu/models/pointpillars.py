@@ -100,6 +100,18 @@ class PointPillarsConfig:
     # slightly-worse (round 5 A/B: 56.2 vs 53.0 ms/step, ~1x spread) —
     # the scatter is per-update-row-bound, not per-cell-bound, at V=12k.
     bev_packed: bool = False
+    # two-stage exact top-k in post_process: per-128-anchor-block top-m
+    # candidates (one minor-dim sort) feed the final nms_pre_max sort —
+    # ~8x fewer rows than the global ~321k sort. Selection completeness
+    # is PROVEN per step (a missed anchor must STRICTLY beat the weakest
+    # selected score from behind some block's m-th pick) and any possible
+    # miss is COUNTED into nms_pre_overflow, never silent. Bit-identical
+    # to the global stable sort for distinct scores (tie order included);
+    # under EXACT score ties spanning a block's top-m boundary (untrained
+    # bf16 nets mass-produce these) a different tied representative may
+    # be selected — both orders are valid pcdet tie semantics, and real
+    # trained-score ties are measure-zero. 0 = global sort.
+    topk_block_m: int = 16
 
     @property
     def grid_size(self) -> tuple:
@@ -865,11 +877,48 @@ def post_process(cls_c, box_c, dir_c, anchors, cfg: PointPillarsConfig):
     # ~320k anchors measured 50 ms on-chip; one (key, payload) sort is ~1 ms
     # (repo perf ledger: TPU sorts beat per-element selection machinery).
     masked = jnp.where(ok, scores, -1.0)
-    _, top_ix = jax.lax.sort(
-        (-masked, jnp.arange(masked.shape[0], dtype=jnp.int32)), num_keys=1
-    )
-    top_ix = top_ix[: cfg.nms_pre_max]
-    top_scores = masked[top_ix]
+    n_anch = masked.shape[0]
+    m = cfg.topk_block_m
+    if m and n_anch % 128 == 0 and (n_anch // 128) * m >= cfg.nms_pre_max:
+        # two-stage exact top-k: stage 1 sorts each 128-anchor block on
+        # the minor dim (7 bitonic passes vs 18 for the global sort) and
+        # keeps its top m; stage 2 sorts only the blocks*m candidates.
+        # Tie order matches the global stable sort exactly: within-block
+        # ties keep ascending index (stable iota payload), candidate
+        # rows are block-major, and the stage-2 sort is stable. A true
+        # top-k member can be missed only if some block had > m of them;
+        # then that block's (m+1)-th score beats the weakest selected
+        # score — counted below, never silent.
+        blocks = n_anch // 128
+        sb = (-masked).reshape(blocks, 128)
+        widx = jnp.broadcast_to(
+            jnp.arange(128, dtype=jnp.int32)[None, :], (blocks, 128)
+        )
+        neg_sorted, widx_s = jax.lax.sort((sb, widx), num_keys=1)
+        cand_scores = -neg_sorted[:, :m].reshape(-1)       # block-major
+        cand_idx = (
+            jnp.arange(blocks, dtype=jnp.int32)[:, None] * 128
+            + widx_s[:, :m]
+        ).reshape(-1)
+        bound = -neg_sorted[:, m]        # per-block (m+1)-th best score
+        _, order = jax.lax.sort(
+            (-cand_scores,
+             jnp.arange(cand_scores.shape[0], dtype=jnp.int32)),
+            num_keys=1,
+        )
+        sel = order[: cfg.nms_pre_max]
+        top_ix = cand_idx[sel]
+        top_scores = cand_scores[sel]
+        kth = top_scores[cfg.nms_pre_max - 1]
+        pre_overflow = pre_overflow + jnp.sum(
+            (bound > kth).astype(jnp.int32)
+        )
+    else:
+        _, top_ix = jax.lax.sort(
+            (-masked, jnp.arange(n_anch, dtype=jnp.int32)), num_keys=1
+        )
+        top_ix = top_ix[: cfg.nms_pre_max]
+        top_scores = masked[top_ix]
     top_valid = top_scores > cfg.score_thresh
 
     # decode/classify ONLY the selected rows (k-row gathers; elementwise

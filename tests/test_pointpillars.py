@@ -334,3 +334,50 @@ def test_voxelize_gather_matches_scatter_and_packed_bev():
     np.testing.assert_array_equal(
         np.asarray(bg, np.float32), np.asarray(bs, np.float32)
     )
+
+
+def test_two_stage_topk_matches_global_sort():
+    """cfg.topk_block_m (two-stage exact top-k) must be BIT-identical to
+    the global stable sort whenever no block hides more than m true-top
+    members — including tie order — and must COUNT (never silently drop)
+    a possible miss when one does."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        pp.PointPillarsConfig(), nms_pre_max=1024, compute_dtype="bfloat16"
+    )
+    cfg1 = dataclasses.replace(cfg2, topk_block_m=0)
+    rng = np.random.default_rng(0)
+    a = cfg2.num_anchors_per_loc
+    h, w = cfg2.feature_map_size
+    ncls = len(cfg2.class_names)
+    anchors = jnp.asarray(pp.generate_anchors(cfg2))
+    for scale in (0.3, 3.0):      # sparse and absurdly dense candidates
+        cls_c = jnp.asarray(
+            rng.normal(-3, scale, (a * ncls, h, w)), jnp.float32
+        )
+        box_c = jnp.asarray(rng.normal(0, 0.1, (a * 7, h, w)), jnp.float32)
+        dir_c = jnp.asarray(rng.normal(0, 1, (a * 2, h, w)), jnp.float32)
+        p1 = pp.post_process(cls_c, box_c, dir_c, anchors, cfg1)
+        p2 = pp.post_process(cls_c, box_c, dir_c, anchors, cfg2)
+        for f in ("boxes", "scores", "labels", "count", "nms_pre_overflow"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p1, f)), np.asarray(getattr(p2, f)),
+                err_msg=f,
+            )
+    # adversarial: 40 of the true top-64 packed into ONE 128-anchor block
+    # (> m = 16) — the two-stage path must raise the overflow counter
+    cfg2s = dataclasses.replace(cfg2, nms_pre_max=64, nms_post_max=32)
+    cfg1s = dataclasses.replace(cfg2s, topk_block_m=0)
+    logits = np.full((a * ncls, h, w), -9.0, np.float32)
+    cls4 = logits.reshape(a, ncls, h, w)
+    for j, fo in enumerate(rng.choice(128, 40, replace=False)):
+        ix = 7 * 128 + int(fo)
+        ai, rem = divmod(ix, h * w)
+        yi, xi = divmod(rem, w)
+        cls4[ai, 0, yi, xi] = 5.0 + 0.01 * j
+    z7 = jnp.zeros((a * 7, h, w), jnp.float32)
+    z2 = jnp.zeros((a * 2, h, w), jnp.float32)
+    p1 = pp.post_process(jnp.asarray(logits), z7, z2, anchors, cfg1s)
+    p2 = pp.post_process(jnp.asarray(logits), z7, z2, anchors, cfg2s)
+    assert int(p2.nms_pre_overflow) > int(p1.nms_pre_overflow)
