@@ -112,6 +112,14 @@ class PointPillarsConfig:
     # be selected — both orders are valid pcdet tie semantics, and real
     # trained-score ties are measure-zero. 0 = global sort.
     topk_block_m: int = 16
+    # static scatter-update prefix for the voxelizer: after the vid sort
+    # every in-range point sits in a prefix (sentinel vids sort last), so
+    # the five pillar/coords scatters — near-serial per UPDATE on TPU —
+    # can process only the first `voxel_active_points` sorted rows.
+    # EXACT whenever the scan's in-range count fits (bit-identical;
+    # points beyond the prefix are COUNTED into points_dropped, never
+    # silent). 0 = all n rows (always exact).
+    voxel_active_points: int = 0
 
     @property
     def grid_size(self) -> tuple:
@@ -313,6 +321,7 @@ class VoxelizeResult(NamedTuple):
     num_pillars: Any     # scalar int32
     points_dropped: Any  # scalar int32
     pillars_dropped: Any  # scalar int32
+    prefix_overflow: Any = 0  # in-range points beyond voxel_active_points
 
 
 def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
@@ -408,7 +417,18 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
 
     ok = sval & (vrank < vmax) & (within < pmax)
     points_dropped = jnp.sum(sval & ~ok)  # over-cap or dropped-pillar points
-    n_pillars_total = jnp.sum(head)
+    # static scatter prefix (see cfg.voxel_active_points): valid rows live
+    # in a sorted prefix, so slicing the scatter updates to ap rows is
+    # bit-identical whenever sum(sval) <= ap; in-range points beyond the
+    # prefix are COUNTED (they are dropped points, same contract as the
+    # over-cap drops above)
+    ap = cfg.voxel_active_points
+    prefix_overflow = jnp.int32(0)
+    if not ap or ap >= n:
+        ap = n
+    else:
+        prefix_overflow = jnp.sum(ok[ap:]).astype(jnp.int32)
+    n_pillars_total = jnp.sum(head[:ap])
     num_pillars = jnp.minimum(n_pillars_total, vmax)
     pillars_dropped = n_pillars_total - num_pillars
 
@@ -422,7 +442,10 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
     next_boundary = jnp.concatenate(
         [jax.lax.cummin(bpos[::-1])[::-1][1:], jnp.full((1,), n, jnp.int32)]
     )
-    rlen = jnp.minimum(next_boundary - pos, pmax)
+    # run length clipped at the scatter prefix: a run straddling ap only
+    # counts its scattered rows (no-op when ap == n, since boundaries
+    # never exceed n; nonzero clipping implies counted prefix drops)
+    rlen = jnp.minimum(jnp.minimum(next_boundary, ap) - pos, pmax)
 
     rbits = pmax.bit_length()  # rlen in [0, pmax]
     if cfg.pillar_gather and n <= ((1 << 31) - 1) >> rbits:
@@ -437,8 +460,8 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
         # slots decode to startpos 0 / count 0, so every consumer mask
         # sees the same benign values). Coords come from one vmax-scale
         # gather of the sorted vid plane at the head positions.
-        packed = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-            jnp.where(hsel, (pos << rbits) | rlen, 0), mode="drop"
+        packed = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot[:ap]].set(
+            jnp.where(hsel, (pos << rbits) | rlen, 0)[:ap], mode="drop"
         )[:-1]
         startpos = packed >> rbits
         counts = packed & ((1 << rbits) - 1)
@@ -462,11 +485,11 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
         # scatter fallback (and A/B arm): four 1-D unique scatters instead
         # of one (N, 4) row scatter (row scatters pay per cell with a
         # padded minor dim; 1-D is ~2x)
-        slot = jnp.where(ok, vrank * pmax + within, vmax * pmax)
+        slot = jnp.where(ok, vrank * pmax + within, vmax * pmax)[:ap]
         cols = []
         for c in (c0, c1, c2, c3):
             col = jnp.zeros((vmax * pmax + 1,), points.dtype).at[slot].set(
-                jnp.where(ok, c, 0.0), mode="drop"
+                jnp.where(ok, c, 0.0)[:ap], mode="drop"
             )
             cols.append(col[:-1])
         pillars = jnp.stack(cols, axis=-1).reshape(vmax, pmax, 4)
@@ -477,8 +500,10 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
         # construction (svid < nz*ny*nx, rlen <= pmax); falls back to
         # per-column scatters when the static bit budget doesn't fit.
         if nz * ny * nx <= ((1 << 31) - 1) >> rbits:
-            packed = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-                jnp.where(hsel, (svid << rbits) | rlen, 0), mode="drop"
+            packed = jnp.zeros(
+                (vmax + 1,), jnp.int32
+            ).at[head_slot[:ap]].set(
+                jnp.where(hsel, (svid << rbits) | rlen, 0)[:ap], mode="drop"
             )[:-1]
             pvid = packed >> rbits
             counts = packed & ((1 << rbits) - 1)
@@ -488,13 +513,16 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
         else:
             ccols = []
             for c in (svid // (nx * ny), (svid // nx) % ny, svid % nx):
-                col = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-                    jnp.where(hsel, c.astype(jnp.int32), 0), mode="drop"
+                col = jnp.zeros(
+                    (vmax + 1,), jnp.int32
+                ).at[head_slot[:ap]].set(
+                    jnp.where(hsel, c.astype(jnp.int32), 0)[:ap],
+                    mode="drop",
                 )
                 ccols.append(col[:-1])
             coords = jnp.stack(ccols, axis=-1)
-            counts = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot].set(
-                jnp.where(hsel, rlen, 0), mode="drop"
+            counts = jnp.zeros((vmax + 1,), jnp.int32).at[head_slot[:ap]].set(
+                jnp.where(hsel, rlen, 0)[:ap], mode="drop"
             )[:-1]
 
     return VoxelizeResult(
@@ -504,6 +532,7 @@ def voxelize(points: jnp.ndarray, valid: jnp.ndarray,
         num_pillars=num_pillars,
         points_dropped=points_dropped,
         pillars_dropped=pillars_dropped,
+        prefix_overflow=prefix_overflow,
     )
 
 
@@ -624,7 +653,11 @@ def scatter_bev(pfeat, vox, cfg: PointPillarsConfig):
     the scatter (half the scattered cells, bit-identical on unpack)."""
     nx, ny, _ = cfg.grid_size
     v, c = pfeat.shape
-    live = jnp.arange(v) < vox.num_pillars
+    # counts-based liveness: equivalent to `arange < num_pillars` (real
+    # pillar slots always hold >= 1 point; unwritten slots hold 0) and
+    # robust under voxel_active_points prefix overflow, where rank-based
+    # masks could admit a never-written ghost slot
+    live = vox.num_points > 0
     flat_ix = jnp.where(
         live, vox.coords[:, 1] * nx + vox.coords[:, 2], ny * nx
     )
@@ -827,6 +860,10 @@ class Predictions(NamedTuple):
     # candidates above score_thresh beyond nms_pre_max (pcdet drops them
     # silently by top-k; here the truncation is counted)
     nms_pre_overflow: Any = 0
+    # in-range points beyond cfg.voxel_active_points (NOT pcdet
+    # semantics: a nonzero count means the static scatter prefix was
+    # undersized for this scan — raise the capacity)
+    prefix_overflow: Any = 0
 
 
 def _features_bev(points, valid, params, cfg: PointPillarsConfig):
@@ -835,7 +872,7 @@ def _features_bev(points, valid, params, cfg: PointPillarsConfig):
     feat = pillar_features(vox, cfg)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     pfeat = pfn_forward(feat.astype(dtype), params, cfg)
-    live = (jnp.arange(cfg.max_pillars) < vox.num_pillars)[:, None]
+    live = (vox.num_points > 0)[:, None]  # see scatter_bev: counts-based
     spatial = scatter_bev(pfeat * live.astype(pfeat.dtype), vox, cfg)
     return backbone_forward(spatial, params, cfg), vox
 
@@ -972,6 +1009,7 @@ def detect(points, valid, params, anchors, cfg: PointPillarsConfig):
     return preds._replace(
         points_dropped=vox.points_dropped,
         pillars_dropped=vox.pillars_dropped,
+        prefix_overflow=vox.prefix_overflow,
     )
 
 

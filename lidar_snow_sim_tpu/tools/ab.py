@@ -466,7 +466,9 @@ def build_detect_arms(variants: dict[str, dict]) -> dict[str, Arm]:
                 lambda p, m: pp.detect(p * one, m, prm, anc, det_cfg),
                 in_axes=(0, 0),
             )(pts, msk)
-            return full_leaf_dep(out), jnp.sum(out.nms_pre_overflow)
+            return full_leaf_dep(out), (
+                jnp.sum(out.nms_pre_overflow) + jnp.sum(out.prefix_overflow)
+            )
 
         arms[name] = Arm(
             make_runner(step, (pts_b, msk_b, params, anchors), batch), batch

@@ -381,3 +381,44 @@ def test_two_stage_topk_matches_global_sort():
     p1 = pp.post_process(jnp.asarray(logits), z7, z2, anchors, cfg1s)
     p2 = pp.post_process(jnp.asarray(logits), z7, z2, anchors, cfg2s)
     assert int(p2.nms_pre_overflow) > int(p1.nms_pre_overflow)
+
+
+def test_voxel_active_points_prefix():
+    """cfg.voxel_active_points slices the five voxelizer scatters to a
+    static sorted prefix: BIT-identical whenever the scan's in-range
+    count fits, with any in-range point beyond the prefix COUNTED in
+    prefix_overflow (never silent) and threaded through detect()."""
+    import dataclasses
+
+    rng = np.random.default_rng(2)
+    n = 8000
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-70, 70, n)   # half behind the sensor
+    pts[:, 1] = rng.uniform(-40, 40, n)
+    pts[:, 2] = rng.uniform(-3, 1, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    valid = rng.random(n) > 0.05
+    base = dataclasses.replace(
+        pp.PointPillarsConfig(), max_pillars=4096, compute_dtype="bfloat16"
+    )
+    v0 = pp.voxelize(jnp.asarray(pts), jnp.asarray(valid), base)
+    big = dataclasses.replace(base, voxel_active_points=6144)
+    v1 = pp.voxelize(jnp.asarray(pts), jnp.asarray(valid), big)
+    for f in v0._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(v0, f)), np.asarray(getattr(v1, f)),
+            err_msg=f,
+        )
+    small = dataclasses.replace(base, voxel_active_points=1024)
+    v2 = pp.voxelize(jnp.asarray(pts), jnp.asarray(valid), small)
+    assert int(v2.prefix_overflow) > 0
+    # a straddling run's count covers only its scattered rows: counts
+    # must never exceed the number of actually-written slots
+    assert int(jnp.sum(v2.num_points)) <= 1024
+    # threaded through the public entry
+    params = pp.init_params(small, jax.random.PRNGKey(0))
+    anchors = jnp.asarray(pp.generate_anchors(small))
+    preds = pp.detect(
+        jnp.asarray(pts), jnp.asarray(valid), params, anchors, small
+    )
+    assert int(preds.prefix_overflow) == int(v2.prefix_overflow)
