@@ -261,7 +261,21 @@ class LISA:
         if self._mxu_lookup:
             from lidar_snow_sim_tpu.ops.lut_lookup import bake_parts_table
 
-            qb_parts = bake_parts_table(qb_pairs)
+            try:
+                qb_parts = bake_parts_table(qb_pairs)
+            except AssertionError:
+                # a table value whose bf16x4 residual cascade is not
+                # exactly reconstructible (never observed for baked Mie
+                # tables; defensive): fall back to the XLA gather path
+                # rather than serve approximate physics
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "Qback table not exactly bf16x4-splittable; "
+                    "falling back to the XLA lookup path"
+                )
+                self._mxu_lookup = False
+                qb_parts = np.zeros((8, 128), jnp.bfloat16)
         else:
             qb_parts = np.zeros((8, 128), jnp.bfloat16)
         return (
