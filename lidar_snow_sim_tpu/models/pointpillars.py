@@ -916,7 +916,8 @@ def post_process(cls_c, box_c, dir_c, anchors, cfg: PointPillarsConfig):
     masked = jnp.where(ok, scores, -1.0)
     n_anch = masked.shape[0]
     m = cfg.topk_block_m
-    if m and n_anch % 128 == 0 and (n_anch // 128) * m >= cfg.nms_pre_max:
+    if (m and m < 128 and n_anch % 128 == 0
+            and (n_anch // 128) * m >= cfg.nms_pre_max):
         # two-stage exact top-k: stage 1 sorts each 128-anchor block on
         # the minor dim (7 bitonic passes vs 18 for the global sort) and
         # keeps its top m; stage 2 sorts only the blocks*m candidates.
